@@ -1,0 +1,115 @@
+"""Stage-1/2 feature matching ops: similarity volume + template selection.
+
+Rebuilds utils/matching.py (matching_features_similarity at :6-26,
+matching_templates at :29-69) on NHWC features with channel-last volumes.
+
+Two reference quirks are preserved deliberately, because trained weights /
+selection behavior depend on them (documented here so they don't read as
+bugs):
+
+  * the similarity volume's query-spatial unflattening is TRANSPOSED
+    (reference rearrange "b (w h) c -> b c h w", matching.py:25): the volume
+    at spatial (h, w) holds the similarities of query patch (row=w, col=h).
+    We mirror it so stage-2 head weights are portable 1:1 from reference
+    checkpoints.
+  * matching_templates' mutual-consistency mask multiplies a (b, n, t) query
+    mask elementwise with (b, n, s)-indexed argmax-validity terms
+    (matching.py:54-60) — i.e. index i is simultaneously interpreted as a
+    query patch and a template patch.  Faithfully reproduced.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def _mask_to_grid(mask: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
+    """(B, Hm, Wm) crop mask -> (B, h, w) by nearest downsample (the
+    reference's default-mode F.interpolate, matching.py:16,38)."""
+    from picopose_tpu.ops.resize import resize_nearest
+
+    return resize_nearest(mask, hw)
+
+
+def feature_similarity_volume(
+    tem_feat: jnp.ndarray,
+    query_feat: jnp.ndarray,
+    tem_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked cosine-similarity volume between one template and the query.
+
+    Args:
+      tem_feat:   (B, h, w, C) template features (stage-1 last level).
+      query_feat: (B, h, w, C) query features.
+      tem_mask:   (B, Hm, Wm) template crop mask (any resolution).
+
+    Returns (B, h, w, h*w): channel s = template patch (row-major); spatial
+    (h, w) = query patch (row=w, col=h) — see module docstring.  Values are
+    relu(cos-sim * tem_mask[s]).
+
+    Equivalent of matching_features_similarity (utils/matching.py:6-26).
+    """
+    B, h, w, C = tem_feat.shape
+    q = l2_normalize(query_feat, axis=-1).reshape(B, h * w, C)
+    t = l2_normalize(tem_feat, axis=-1).reshape(B, h * w, C)
+    m = _mask_to_grid(tem_mask, (h, w)).reshape(B, 1, h * w)
+    sim = jnp.einsum("btc,bsc->bts", q, t, precision="highest")  # t = query patch, s = template
+    sim = sim * m
+    sim = jnp.maximum(sim, 0.0)
+    # transposed unflattening of the query index: t == w*h_dim + h
+    sim = sim.reshape(B, w, h, h * w)  # (B, w, h, S)
+    return jnp.swapaxes(sim, 1, 2)  # (B, h, w, S)
+
+
+def match_templates(
+    tem_feats: jnp.ndarray,
+    query_feat: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    topk: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Score all template views against the query; return top-k (scores, ids).
+
+    Args:
+      tem_feats:  (B, N, h, w, C) cached per-view stage-1 features.
+      query_feat: (B, h, w, C).
+      query_mask: (B, Hm, Wm) query crop mask.
+
+    Per view: sim[t, s] = cos(query[t], tem[s]) * query_mask[t]; score =
+    sum_t max_s sim[t, s] * valid[t] / (h*w)^2 where valid combines the query
+    mask with the reference's argmax-nonzero consistency terms
+    (utils/matching.py:47-67).
+
+    Equivalent of matching_templates (utils/matching.py:29-69) with the
+    per-view loop fully batched (one einsum over all N views).
+    """
+    B, N, h, w, C = tem_feats.shape
+    S = h * w
+    q = l2_normalize(query_feat, axis=-1).reshape(B, S, C)
+    t = l2_normalize(tem_feats, axis=-1).reshape(B, N, S, C)
+    qm = _mask_to_grid(query_mask, (h, w)).reshape(B, 1, S)
+
+    sim = jnp.einsum("btc,bnsc->bnts", q, t, precision="highest")
+    sim = sim * qm[..., None]
+
+    score_t2s = sim.max(axis=3)  # (B, N, t)
+    idx_t2s = sim.argmax(axis=3)
+    idx_s2t = sim.argmax(axis=2)  # (B, N, s)
+
+    mask_all = (
+        (qm > 0)
+        & (idx_s2t != 0)
+        & (idx_t2s != 0)
+    ).astype(sim.dtype)  # (B, N, S) — aligned-index product, see docstring
+    any_valid = mask_all.sum(axis=2) > 0
+    sim_avg = jnp.where(
+        any_valid, (score_t2s * mask_all).sum(axis=2) / (S**2), 0.0
+    )
+    scores, ids = jax.lax.top_k(sim_avg, topk)
+    return scores, ids
