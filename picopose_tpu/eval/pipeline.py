@@ -1,0 +1,196 @@
+"""The one-program inference pipeline: crops + template bank -> poses.
+
+This is the TPU replacement for the reference's eval inner loop
+(run_test.py:141-186 + model/picopose.py:97-112): template matching,
+per-hypothesis stage 2/3, correspondence extraction, RANSAC-PnP, stage-2
+fallback and hypothesis ranking — all inside ONE jit-compiled function.
+Host code only decodes images and writes CSV.
+
+Shapes: B = instance batch, N = template views, HYP = hypotheses.
+The hypothesis axis is folded into the batch axis for the neural stages.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from picopose_tpu.geom.affine import affine_from_prediction
+from picopose_tpu.geom.pose2d import pose_from_affine_2d
+from picopose_tpu.models.correspondence import final_correspondences, init_correspondences
+from picopose_tpu.ops.matching import match_templates
+from picopose_tpu.ops.pnp import ransac_pnp
+
+
+class TemplateBank(NamedTuple):
+    """Per-object on-device template cache.
+
+    Unlike the reference's bank (last ViT level only, run_test.py:120-134),
+    we cache all four backbone taps so hypotheses never re-run the ViT
+    (fixes the re-run at model/picopose.py:78).
+    """
+
+    feats: tuple[jnp.ndarray, ...]  # 4 x (N, 16, 16, C)
+    mask: jnp.ndarray               # (N, Hc, Wc) crop masks
+    pts3d: jnp.ndarray              # (N, 64, 64, 3) camera-frame points
+    pose: jnp.ndarray               # (N, 4, 4)
+    K: jnp.ndarray                  # (N, 3, 3)
+    M: jnp.ndarray                  # (N, 3, 3) crop affines
+
+
+class EvalOutput(NamedTuple):
+    R: jnp.ndarray             # (B, HYP, 3, 3) ranked best-first
+    t: jnp.ndarray             # (B, HYP, 3)
+    inlier_ratio: jnp.ndarray  # (B, HYP)
+    pnp_success: jnp.ndarray   # (B, HYP) bool
+    template_score: jnp.ndarray  # (B, HYP) matching scores (pre-ranking order)
+
+
+def _take(bank_arr: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather (N, ...) bank entries with (B, HYP) ids -> (B*HYP, ...)."""
+    return bank_arr[ids.reshape(-1)]
+
+
+def run_batch(
+    model,
+    variables,
+    batch: dict[str, jnp.ndarray],
+    bank: TemplateBank,
+    key: jax.Array,
+    hyp: int = 5,
+    pnp_iters: int = 150,
+) -> EvalOutput:
+    """Full pipeline for a batch of instance crops of ONE object's bank.
+
+    batch keys (all device arrays):
+      real_rgb (B, 224, 224, 3) CLIP-normalized, real_mask (B, 224, 224),
+      real_M (B, 3, 3), real_K (B, 3, 3), real_pts2d (B, 64, 64, 2)
+      original-image coords of the 64-grid patch centers
+      (provider/bop_test_dataset.py:192-196).
+    """
+    B = batch["real_rgb"].shape[0]
+
+    # ---- stage 1: query features once; match against the bank
+    feats_real = model.apply(
+        variables, batch["real_rgb"], method=model.features
+    )
+    bank_last = bank.feats[-1]
+    scores, ids = match_templates(
+        jnp.broadcast_to(bank_last[None], (B, *bank_last.shape)),
+        feats_real[-1],
+        batch["real_mask"],
+        topk=hyp,
+    )  # (B, HYP)
+
+    # ---- gather per-hypothesis template data; fold HYP into batch
+    BH = B * hyp
+    tem_feats = [_take(f, ids) for f in bank.feats]         # 4 x (BH, 16, 16, C)
+    tem_mask = _take(bank.mask, ids)
+    tem_pts3d = _take(bank.pts3d, ids)
+    tem_pose = _take(bank.pose, ids)
+    tem_K = _take(bank.K, ids)
+    tem_M = _take(bank.M, ids)
+
+    def tile(x):
+        reps = (1, hyp) + (1,) * (x.ndim - 1)
+        return jnp.tile(x[:, None], reps).reshape(BH, *x.shape[1:])
+
+    real_last = tile(feats_real[-1])
+    real_feats = [tile(f) for f in feats_real]
+    real_mask = tile(batch["real_mask"])
+    real_M = tile(batch["real_M"])
+    real_K = tile(batch["real_K"])
+    real_pts2d = tile(batch["real_pts2d"])
+
+    # ---- stage 2: affine + recovered pose (also the PnP fallback)
+    translation, scale, inplane = model.apply(
+        variables, tem_feats[-1], real_last, tem_mask, method=model.stage2
+    )
+    pred_Ms = affine_from_prediction(
+        scale, inplane, translation, tem_pose, tem_K, tem_M
+    )
+    poses_2d = pose_from_affine_2d(
+        real_M, real_K, pred_Ms, tem_K, tem_M, tem_pose
+    )
+
+    # ---- stage 3: flow refinement -> dense correspondences
+    init_flow, init_cert = init_correspondences(pred_Ms, tem_mask)
+    flows, certs = model.apply(
+        variables, tem_feats, real_feats, init_flow, init_cert,
+        method=model.stage3,
+    )
+    tar_pts, valid = final_correspondences(flows[-1], certs[-1])
+
+    # ---- PnP: gather query 2D (original-image px) at integer targets,
+    #      model-frame 3D from the template grid
+    G = bank.pts3d.shape[1]
+    xi = jnp.clip(tar_pts[..., 0].astype(jnp.int32), 0, G - 1)
+    yi = jnp.clip(tar_pts[..., 1].astype(jnp.int32), 0, G - 1)
+    p2_flat = real_pts2d.reshape(BH, G * G, 2)
+    pts2d = jnp.take_along_axis(p2_flat, (yi * G + xi)[..., None], axis=1)
+
+    # template camera points -> model frame (pose_recovery.py:84)
+    cam_pts = tem_pts3d.reshape(BH, G * G, 3)
+    Rt, tt = tem_pose[:, :3, :3], tem_pose[:, :3, 3]
+    model_pts = jnp.einsum(
+        "bnj,bji->bni", cam_pts - tt[:, None], Rt, precision="highest"
+    )
+    valid &= cam_pts[..., 2] > 1e-6  # no template depth -> invalid
+
+    pnp = ransac_pnp(
+        model_pts, pts2d, real_K, valid, key, iters=pnp_iters
+    )
+
+    # ---- stage-2 fallback where PnP failed (run_test.py:177-179)
+    R = jnp.where(pnp.success[:, None, None], pnp.R, poses_2d[:, :3, :3])
+    t = jnp.where(pnp.success[:, None], pnp.t, poses_2d[:, :3, 3])
+
+    R = R.reshape(B, hyp, 3, 3)
+    t = t.reshape(B, hyp, 3)
+    ratio = pnp.inlier_ratio.reshape(B, hyp)
+    success = pnp.success.reshape(B, hyp)
+
+    # ---- rank hypotheses by inlier ratio, best first (run_test.py:186)
+    order = jnp.argsort(-ratio, axis=1)
+    take = lambda x: jnp.take_along_axis(
+        x, order.reshape(B, hyp, *(1,) * (x.ndim - 2)), axis=1
+    )
+    return EvalOutput(
+        R=take(R), t=take(t),
+        inlier_ratio=jnp.take_along_axis(ratio, order, axis=1),
+        pnp_success=jnp.take_along_axis(success, order, axis=1),
+        template_score=scores,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("model", "hyp", "pnp_iters"))
+def run_batch_jit(model, variables, batch, bank, key, hyp=5, pnp_iters=150):
+    return run_batch(model, variables, batch, bank, key, hyp, pnp_iters)
+
+
+def build_bank(
+    model, variables, tem_rgb, tem_mask, tem_pts3d, tem_pose, tem_K, tem_M,
+    chunk: int = 32,
+) -> TemplateBank:
+    """Precompute a TemplateBank by running the backbone over all N views.
+
+    Chunked to bound peak memory; equivalent of run_test.py:120-134 but
+    caching all four taps.
+    """
+    N = tem_rgb.shape[0]
+    feats_chunks = []
+    apply = jax.jit(
+        lambda v, x: model.apply(v, x, method=model.features), static_argnums=()
+    )
+    for s in range(0, N, chunk):
+        feats_chunks.append(apply(variables, tem_rgb[s : s + chunk]))
+    feats = tuple(
+        jnp.concatenate([c[i] for c in feats_chunks], axis=0) for i in range(4)
+    )
+    return TemplateBank(
+        feats=feats, mask=tem_mask, pts3d=tem_pts3d,
+        pose=tem_pose, K=tem_K, M=tem_M,
+    )

@@ -1,0 +1,251 @@
+"""DINOv2 vision transformer (flax.linen), built for the TPU compute path.
+
+From-scratch functional equivalent of the reference's vendored
+model/stage1/vision_transformer.py (DinoVisionTransformer) and
+model/stage1/feature_extractor.py (FeatureExtractor):
+
+  * patch embed 14x14/s14 conv, cls token, bicubic-interpolated position
+    embeddings with the DINOv2 +0.1 offset workaround
+    (vision_transformer.py:179-207) — interpolation is folded into two
+    precomputed matmuls since crop size is static under jit;
+  * pre-norm blocks with LayerScale (init 1.0) and GELU MLP (SwiGLU variant
+    for the giant model), LayerNorm eps 1e-6;
+  * attention through picopose_tpu.ops.attention (Pallas kernel on TPU);
+  * multi-level taps: raw block outputs at cfg.interaction_indexes'
+    last-of-pair [5, 11, 17, 23], cls stripped, reshaped to NHWC
+    (feature_extractor.py:93-109 — note: NO final LayerNorm on taps).
+
+Parameter names mirror the torch hub checkpoints (qkv / proj / fc1 / fc2 /
+ls1.gamma ...) so utils/torch_port.py is a pure layout transpose.
+
+Compute dtype: bf16 by default (MXU-native); params live in fp32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from picopose_tpu.ops.attention import attention
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 14
+    pos_grid: int = 37  # pretrain img 518 / 14
+    mlp_ratio: float = 4.0
+    ffn_layer: str = "mlp"  # "mlp" | "swiglufused"
+    init_values: float = 1.0
+    interpolate_offset: float = 0.1
+
+
+# descriptor_size / arch table, feature_extractor.py:5-18
+VIT_CONFIGS = {
+    "dinov2_vits14": ViTConfig(384, 12, 6),
+    "dinov2_vitb14": ViTConfig(768, 12, 12),
+    "dinov2_vitl14": ViTConfig(1024, 24, 16),
+    "dinov2_vitg14": ViTConfig(1536, 40, 24, ffn_layer="swiglufused"),
+}
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic kernel with a=-0.75 (torch's bicubic)."""
+    x = np.abs(x)
+    out = np.where(
+        x <= 1,
+        (a + 2) * x**3 - (a + 3) * x**2 + 1,
+        np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+    )
+    return out
+
+
+def bicubic_resize_matrix(in_size: int, out_size: int, scale: float) -> np.ndarray:
+    """(out, in) separable torch-bicubic interpolation matrix.
+
+    torch F.interpolate(mode='bicubic', align_corners=False) with an explicit
+    scale_factor maps src = (dst + 0.5) / scale - 0.5 and clamps tap indices
+    (replication at borders).  This reproduces the reference's pos-embed
+    interpolation (vision_transformer.py:197-207) including the 0.1-offset
+    scale sx = (w0 + 0.1) / sqrt(N).
+    """
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    for d in range(out_size):
+        src = (d + 0.5) / scale - 0.5
+        f = np.floor(src)
+        t = src - f
+        taps = np.array([f - 1, f, f + 1, f + 2], dtype=np.int64)
+        w = _cubic_kernel(src - taps)
+        taps = np.clip(taps, 0, in_size - 1)
+        for ti, wi in zip(taps, w):
+            W[d, ti] += wi
+    return W.astype(np.float32)
+
+
+class LayerScale(nn.Module):
+    """Per-channel learnable scale (vendored layers/layer_scale.py)."""
+
+    dim: int
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1", dtype=x.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, name="fc2", dtype=x.dtype)(x)
+        return x
+
+
+class SwiGLUFFNFused(nn.Module):
+    """SwiGLU FFN (vendored layers/swiglu_ffn.py, used by vit_giant2):
+    hidden = round-to-8(2/3 * 4 * dim); w12 fused gate+value."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = (int(self.dim * 4 * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, name="w12", dtype=x.dtype)(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(self.dim, name="w3", dtype=x.dtype)(nn.silu(x1) * x2)
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, C)
+        B, N, C = x.shape
+        D = C // self.num_heads
+        qkv = nn.Dense(3 * C, name="qkv", dtype=x.dtype)(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, D)
+        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # (B,H,N,D)
+        out = attention(q, k, v)
+        out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
+        return nn.Dense(C, name="proj", dtype=x.dtype)(out)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=x.dtype)(x)
+        h = Attention(c.embed_dim, c.num_heads, name="attn")(h)
+        x = x + LayerScale(c.embed_dim, c.init_values, name="ls1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=x.dtype)(x)
+        if c.ffn_layer == "swiglufused":
+            h = SwiGLUFFNFused(c.embed_dim, name="mlp")(h)
+        else:
+            h = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), name="mlp")(h)
+        return x + LayerScale(c.embed_dim, c.init_values, name="ls2")(h)
+
+
+class DinoViT(nn.Module):
+    """The transformer trunk.  __call__ returns the token stream after every
+    block (a python list — cheap, XLA dedups), so callers pick their taps."""
+
+    cfg: ViTConfig
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def _interpolated_pos_embed(self, pos_embed: jnp.ndarray, h: int, w: int):
+        """Static-shape bicubic interpolation of the (1, G*G+1, C) table to
+        (1, h*w+1, C); two host-precomputed matmuls (see module docstring)."""
+        c = self.cfg
+        G = c.pos_grid
+        if (h, w) == (G, G):
+            return pos_embed
+        cls_pe, patch_pe = pos_embed[:, :1], pos_embed[:, 1:]
+        sy = (h + c.interpolate_offset) / G
+        sx = (w + c.interpolate_offset) / G
+        Wy = jnp.asarray(bicubic_resize_matrix(G, h, sy))
+        Wx = jnp.asarray(bicubic_resize_matrix(G, w, sx))
+        grid = patch_pe.reshape(G, G, -1)
+        grid = jnp.einsum("yg,ghc->yhc", Wy, grid, precision="highest")
+        grid = jnp.einsum("xh,yhc->yxc", Wx, grid, precision="highest")
+        return jnp.concatenate([cls_pe, grid.reshape(1, h * w, -1)], axis=1)
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> list[jnp.ndarray]:
+        """images: (B, H, W, 3) normalized crops -> list of (B, 1+N, C) token
+        streams after each block (cast to compute_dtype)."""
+        c = self.cfg
+        B, H, W, _ = images.shape
+        gh, gw = H // c.patch_size, W // c.patch_size
+
+        x = nn.Conv(
+            c.embed_dim,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            name="patch_embed",
+            dtype=self.compute_dtype,
+        )(images.astype(self.compute_dtype))
+        x = x.reshape(B, gh * gw, c.embed_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(1e-6), (1, 1, c.embed_dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, c.pos_grid * c.pos_grid + 1, c.embed_dim),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, c.embed_dim)).astype(x.dtype), x], axis=1
+        )
+        x = x + self._interpolated_pos_embed(pos, gh, gw).astype(x.dtype)
+
+        outputs = []
+        for i in range(c.depth):
+            x = Block(c, name=f"blocks_{i}")(x)
+            outputs.append(x)
+        return outputs
+
+
+class FeatureExtractor(nn.Module):
+    """Stage-1 backbone wrapper: multi-level NHWC feature taps.
+
+    Equivalent of model/stage1/feature_extractor.py:82-109: collect raw block
+    outputs at `blocks_to_take`, strip cls, reshape to (B, gh, gw, C).
+    """
+
+    vit_type: str = "dinov2_vitl14"
+    blocks_to_take: Sequence[int] = (5, 11, 17, 23)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def cfg(self) -> ViTConfig:
+        return VIT_CONFIGS[self.vit_type]
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> list[jnp.ndarray]:
+        c = self.cfg
+        B, H, W, _ = images.shape
+        gh, gw = H // c.patch_size, W // c.patch_size
+        streams = DinoViT(c, self.compute_dtype, name="dinov2")(images)
+        feats = []
+        for i in self.blocks_to_take:
+            f = streams[i][:, 1:, :].reshape(B, gh, gw, c.embed_dim)
+            feats.append(f)
+        return feats

@@ -1,0 +1,112 @@
+"""Stage-3 flow decoder: coarse-to-fine RAFT-style correspondence refinement.
+
+Equivalent of model/stage3/flow_decoder.py:9-94 + the pieces of
+model/stage3/raft_decoder.py it instantiates (MotionEncoder :56-161,
+XHead :251-289), with the correlation lookup running in direct (volume-free)
+form (picopose_tpu/ops/corr.py).
+
+Per level l in {0, 1, 2} at resolution 16*2^l:
+  proj: 1x1 conv + BN on both feature maps;
+  corr = direct lookup, pyramid depth l+1, radius 2 ((2r+1)^2 = 25 taps);
+  motion = MotionEncoder(corr, flow) -> 126 ch + flow -> 128;
+  x = concat[tem_feat, warp(real_feat, flow), motion] (640 ch);
+  flow += XHead_flow(x); certainty += XHead_mask(x);  (iters = 1)
+  between levels: flow -> 2 * bilinear x2 (align_corners=True), certainty
+  likewise without the value scale.
+
+Flow fields are (B, H, W, 2), channels (x, y), units of level cells.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from picopose_tpu.ops.corr import corr_lookup
+from picopose_tpu.ops.resize import resize_bilinear
+from picopose_tpu.ops.sample import warp_by_flow
+
+
+def _conv_relu(x, ch: int, k: int, pad: int, name: str):
+    x = nn.Conv(ch, (k, k), padding=pad, name=name)(x)
+    return nn.relu(x)
+
+
+class MotionEncoder(nn.Module):
+    """corr/flow conv encoders -> 126-ch motion feature + raw flow (=128).
+
+    Matches raft_decoder.py:56-161 with net_type='Basic', norm None, act ReLU:
+    corr_net (1x1 -> 256, 3x3 -> 192), flow_net (7x7 -> 128, 3x3 -> 64),
+    out_net (3x3 -> 126); output concat([out, flow]).
+    """
+
+    @nn.compact
+    def __call__(self, corr: jnp.ndarray, flow: jnp.ndarray):
+        c = _conv_relu(corr, 256, 1, 0, "corr_net_0")
+        c = _conv_relu(c, 192, 3, 1, "corr_net_1")
+        f = _conv_relu(flow, 128, 7, 3, "flow_net_0")
+        f = _conv_relu(f, 64, 3, 1, "flow_net_1")
+        out = _conv_relu(jnp.concatenate([c, f], axis=-1), 126, 3, 1, "out_net_0")
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class XHead(nn.Module):
+    """Two 3x3 conv+ReLU layers then a predict conv (raft_decoder.py:251-289);
+    flow variant predicts with 3x3, mask variant with 1x1."""
+
+    out_ch: int
+    kind: str  # 'flow' | 'mask'
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv_relu(x, 512, 3, 1, "layers_0")
+        x = _conv_relu(x, 256, 3, 1, "layers_1")
+        k = 3 if self.kind == "flow" else 1
+        return nn.Conv(self.out_ch, (k, k), padding=k // 2, name="predict")(x)
+
+
+class FlowDecoder(nn.Module):
+    num_levels: int = 3
+    radius: int = 4  # config radius; per-level lookup uses radius // 2
+
+    @nn.compact
+    def __call__(
+        self,
+        tem_feats: list[jnp.ndarray],
+        real_feats: list[jnp.ndarray],
+        init_flow: jnp.ndarray,
+        init_certainty: jnp.ndarray,
+        train: bool = False,
+    ):
+        """tem/real_feats: DPT outputs [(B,16,16,256), (B,32,32,256),
+        (B,64,64,256)]; init flow/certainty at 16^2.  Returns per-level lists
+        of flows (B,H,W,2) and certainty logits (B,H,W,1)."""
+        lookup_radius = self.radius // 2
+        flow, certainty = init_flow, init_certainty
+        pred_flow, pred_certainty = [], []
+        for level in range(self.num_levels):
+            # one shared projection applied to BOTH feature maps
+            # (flow_decoder.py:78 uses the same proj module for render/real)
+            proj_conv = nn.Conv(256, (1, 1), name=f"proj_{level}_conv")
+            proj_bn = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"proj_{level}_bn",
+            )
+            ft = proj_bn(proj_conv(tem_feats[level]))
+            fr = proj_bn(proj_conv(real_feats[level]))
+            corr = corr_lookup(ft, fr, flow, lookup_radius, level + 1)
+            motion = MotionEncoder(name=f"encoder_{level}")(corr, flow)
+            fr_hat = warp_by_flow(fr, flow)
+            x = jnp.concatenate([ft, fr_hat, motion], axis=-1)
+            flow = flow + XHead(2, "flow", name=f"flow_pred_{level}")(x)
+            certainty = certainty + XHead(1, "mask", name=f"mask_pred_{level}")(x)
+
+            pred_flow.append(flow)
+            pred_certainty.append(certainty)
+            if level != self.num_levels - 1:
+                H, W = flow.shape[1:3]
+                flow = 2.0 * resize_bilinear(flow, (2 * H, 2 * W), align_corners=True)
+                certainty = resize_bilinear(
+                    certainty, (2 * H, 2 * W), align_corners=True
+                )
+        return pred_flow, pred_certainty

@@ -1,0 +1,122 @@
+"""Shape/jit tests for the neural modules and backbone parity checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from picopose_tpu.models import (
+    AffineRegressor,
+    DPTHead,
+    FeatureExtractor,
+    FlowDecoder,
+    PicoPose,
+)
+from picopose_tpu.models.dinov2 import VIT_CONFIGS, bicubic_resize_matrix
+
+# tiny ViT config for fast tests
+SMALL = dict(vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7))
+
+
+class TestBicubic:
+    def test_matches_torch_bicubic_with_offset(self, rng):
+        """Pin the pos-embed interpolation against torch's bicubic with the
+        DINOv2 scale-offset trick (vision_transformer.py:179-207)."""
+        G, out = 37, 16
+        x = rng.normal(size=(1, G, G, 8)).astype(np.float32)
+        s = (out + 0.1) / G
+        Wy = bicubic_resize_matrix(G, out, s)
+        ours = np.einsum("yg,bghc->byhc", Wy, x)
+        ours = np.einsum("xh,byhc->byxc", bicubic_resize_matrix(G, out, s), ours)
+
+        t = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+        ref = torch.nn.functional.interpolate(
+            t, scale_factor=(s, s), mode="bicubic", antialias=False
+        )
+        ref = np.moveaxis(ref.numpy(), 1, -1)
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+class TestFeatureExtractor:
+    def test_shapes_and_determinism(self, rng):
+        fe = FeatureExtractor(**SMALL, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(2, 112, 112, 3)).astype(np.float32))
+        params = fe.init(jax.random.PRNGKey(0), x)
+        feats = fe.apply(params, x)
+        assert len(feats) == 4
+        c = VIT_CONFIGS["dinov2_vits14"].embed_dim
+        for f in feats:
+            assert f.shape == (2, 8, 8, c)
+        feats2 = fe.apply(params, x)
+        np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(feats2[0]))
+
+
+class TestHeads:
+    def test_affine_regressor_shapes(self, rng):
+        m = AffineRegressor()
+        sim = jnp.asarray(rng.normal(size=(3, 16, 16, 256)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), sim)
+        tr, sc, inp = m.apply(params, sim)
+        assert tr.shape == (3, 2) and sc.shape == (3,) and inp.shape == (3, 2)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(inp), axis=1), 1.0, rtol=1e-5
+        )
+
+    def test_dpt_head_pyramid(self, rng):
+        m = DPTHead(in_channels=64)
+        levels = [
+            jnp.asarray(rng.normal(size=(2, 16, 16, 64)).astype(np.float32))
+            for _ in range(4)
+        ]
+        variables = m.init(jax.random.PRNGKey(0), levels)
+        out = m.apply(variables, levels)
+        assert [o.shape for o in out] == [
+            (2, 16, 16, 256), (2, 32, 32, 256), (2, 64, 64, 256),
+        ]
+
+    def test_flow_decoder_levels(self, rng):
+        m = FlowDecoder(num_levels=3, radius=4)
+        feats = [
+            jnp.asarray(rng.normal(size=(2, s, s, 256)).astype(np.float32))
+            for s in (16, 32, 64)
+        ]
+        flow0 = jnp.zeros((2, 16, 16, 2))
+        cert0 = jnp.zeros((2, 16, 16, 1))
+        variables = m.init(jax.random.PRNGKey(0), feats, feats, flow0, cert0)
+        flows, certs = m.apply(variables, feats, feats, flow0, cert0)
+        assert [f.shape for f in flows] == [
+            (2, 16, 16, 2), (2, 32, 32, 2), (2, 64, 64, 2),
+        ]
+        assert [c.shape for c in certs] == [
+            (2, 16, 16, 1), (2, 32, 32, 1), (2, 64, 64, 1),
+        ]
+
+    def test_flow_decoder_batchnorm_updates(self, rng):
+        m = FlowDecoder(num_levels=1, radius=4)
+        feats = [jnp.asarray(rng.normal(size=(2, 16, 16, 256)).astype(np.float32))]
+        flow0 = jnp.zeros((2, 16, 16, 2))
+        cert0 = jnp.zeros((2, 16, 16, 1))
+        variables = m.init(jax.random.PRNGKey(0), feats, feats, flow0, cert0, train=True)
+        _, mut = m.apply(
+            variables, feats, feats, flow0, cert0, train=True,
+            mutable=["batch_stats"],
+        )
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(mut["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+
+
+class TestPicoPoseInit:
+    def test_init_and_call(self, rng):
+        model = PicoPose(**SMALL, compute_dtype=jnp.float32)
+        imgs = jnp.asarray(rng.normal(size=(1, 112, 112, 3)).astype(np.float32))
+        masks = jnp.ones((1, 112, 112))
+        variables = model.init(jax.random.PRNGKey(0), imgs, masks, True)
+        assert "params" in variables and "batch_stats" in variables
+        tr, sc, inp, flows, certs = model.apply(variables, imgs, masks)
+        assert tr.shape == (1, 2)
+        assert len(flows) == 3
