@@ -1,0 +1,100 @@
+"""BOP evaluation entry point (the reference's run_test.py surface).
+
+Usage:
+    python run_test.py --dataset lmo --config configs/base.yaml \
+        --checkpoint_path log/picopose/version_0/checkpoints \
+        [--view 42] [--hyp 5] [--set key=value ...]
+
+Emits bop19 CSVs (picopose-stage3-<hyp>hyp_<dataset>-test.csv) under
+log/<model>/version_<id>/<dataset>_eval/ — score externally with
+bop_toolkit, exactly like the reference (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="PicoPose-TPU evaluation")
+    p.add_argument("--model", default="picopose")
+    p.add_argument("--config", default="configs/base.yaml")
+    p.add_argument("--dataset", default="tudl",
+                   help="one of the BOP-7 datasets, or 'all'")
+    p.add_argument("--checkpoint_path", default="none",
+                   help="orbax dir or torch .ckpt/.pth (auto-ported); "
+                        "'none' = random init (smoke runs only)")
+    p.add_argument("--version_id", type=int, default=0)
+    p.add_argument("--view", type=int, default=-1,
+                   help="override template view count (e.g. 42)")
+    p.add_argument("--hyp", type=int, default=-1, help="override hypotheses")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--set", nargs="*", default=[], help="config overrides a.b=c")
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.data.bop import BOP7, BOPTestDataset, DETECTION_FILES
+    from picopose_tpu.eval.runner import evaluate_dataset
+    from picopose_tpu.models import PicoPose
+    from picopose_tpu.models.dinov2 import VIT_CONFIGS
+    from picopose_tpu.utils.checkpoint import load_any
+    from picopose_tpu.utils.config import load_config
+
+    cfg = load_config(args.config, args.set)
+    if args.view != -1:
+        cfg = load_config(args.config, args.set + [f"test_dataset.n_template_view={args.view}"])
+    hyp = args.hyp if args.hyp != -1 else cfg.model.hypothesis
+
+    model = PicoPose(
+        vit_type=cfg.model.vit_type,
+        blocks_to_take=tuple(cfg.model.blocks_to_take),
+        hypotheses=hyp,
+        num_levels=cfg.model.num_levels,
+        radius=cfg.model.radius,
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+    )
+
+    if args.checkpoint_path != "none":
+        depth = VIT_CONFIGS[cfg.model.vit_type].depth
+        variables = load_any(args.checkpoint_path, depth=depth)
+    else:
+        print("WARNING: random init (no checkpoint) — smoke run only")
+        imgs = jnp.zeros((1, cfg.test_dataset.img_size, cfg.test_dataset.img_size, 3))
+        masks = jnp.ones(imgs.shape[:3])
+        variables = model.init(jax.random.PRNGKey(0), imgs, masks, True)
+
+    log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
+    datasets = list(BOP7) if args.dataset == "all" else [args.dataset]
+    key = jax.random.PRNGKey(0)
+    for name in datasets:
+        det = os.path.join(cfg.test_dataset.detection_dir, DETECTION_FILES[name])
+        ds = BOPTestDataset(
+            cfg.test_dataset.data_dir, name, det,
+            img_size=cfg.test_dataset.img_size,
+            pts_size=cfg.test_dataset.pts_size,
+            min_mask_px=cfg.test_dataset.minimum_n_point,
+            seg_filter_score=cfg.test_dataset.seg_filter_score,
+            n_template_view=cfg.test_dataset.n_template_view,
+            rgb_mask_flag=cfg.test_dataset.rgb_mask_flag,
+        )
+        save_path = os.path.join(
+            log_dir, f"{name}_eval",
+            f"picopose-stage3-{hyp}hyp_{name}-test.csv",
+        )
+        out = evaluate_dataset(
+            model, variables, ds,
+            os.path.join(cfg.test_dataset.template_dir, name),
+            save_path, key, hyp=hyp, batch_size=args.batch,
+        )
+        print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Training entry point (the reference's run_train.py surface).
+
+Usage:
+    python run_train.py --model picopose --config configs/base.yaml \
+        --version_id 0 [--resume] [--max_steps N] [--set key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="PicoPose-TPU training")
+    p.add_argument("--model", default="picopose")
+    p.add_argument("--config", default="configs/base.yaml")
+    p.add_argument("--version_id", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the log dir")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="stop early (debug/smoke runs)")
+    p.add_argument("--set", nargs="*", default=[], help="config overrides a.b=c")
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.models import PicoPose
+    from picopose_tpu.train.loop import run_training
+    from picopose_tpu.utils.config import load_config
+    from picopose_tpu.utils.torch_port import port_dinov2  # noqa: F401 (doc pointer)
+
+    cfg = load_config(args.config, args.set)
+    model = PicoPose(
+        vit_type=cfg.model.vit_type,
+        blocks_to_take=tuple(cfg.model.blocks_to_take),
+        hypotheses=cfg.model.hypothesis,
+        num_levels=cfg.model.num_levels,
+        radius=cfg.model.radius,
+        compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+    )
+    log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
+    os.makedirs(log_dir, exist_ok=True)
+    print(f"devices: {jax.devices()}")
+    run_training(cfg, model, log_dir, resume=args.resume, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Native C++ layer tests: rasterizer geometry + fast data path parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from picopose_tpu.native import available
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native library not built (make -C native)"
+)
+
+
+def make_cube_ply(path, size=50.0, binary=False):
+    """Write a unit-test cube PLY (mm units) with vertex colors."""
+    s = size / 2
+    verts = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        np.float32,
+    )
+    colors = ((verts / size + 0.5) * 255).astype(np.uint8)
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+        (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [(a, b, c), (a, c, d)]
+    with open(path, "wb") as f:
+        hdr = [
+            "ply",
+            "format binary_little_endian 1.0" if binary else "format ascii 1.0",
+            f"element vertex {len(verts)}",
+            "property float x", "property float y", "property float z",
+            "property uchar red", "property uchar green", "property uchar blue",
+            f"element face {len(faces)}",
+            "property list uchar int vertex_indices",
+            "end_header",
+        ]
+        f.write(("\n".join(hdr) + "\n").encode())
+        if binary:
+            for v, c in zip(verts, colors):
+                f.write(v.astype("<f4").tobytes())
+                f.write(c.astype("u1").tobytes())
+            for tri in faces:
+                f.write(np.uint8(3).tobytes())
+                f.write(np.asarray(tri, "<i4").tobytes())
+        else:
+            for v, c in zip(verts, colors):
+                f.write(
+                    f"{v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n".encode()
+                )
+            for tri in faces:
+                f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n".encode())
+    return verts, faces
+
+
+class TestPlyLoader:
+    @pytest.mark.parametrize("binary", [False, True])
+    def test_roundtrip(self, tmp_path, binary):
+        from picopose_tpu.native.renderer import load_ply
+
+        p = str(tmp_path / "cube.ply")
+        verts, faces = make_cube_ply(p, binary=binary)
+        v, c, f = load_ply(p)
+        np.testing.assert_allclose(v, verts, atol=1e-4)
+        assert c is not None and c.shape == (8, 3)
+        assert f.shape == (12, 3)
+
+
+class TestRasterizer:
+    def test_depth_and_silhouette(self, tmp_path):
+        from picopose_tpu.native.renderer import TEMPLATES_K, load_ply, render_views
+
+        p = str(tmp_path / "cube.ply")
+        make_cube_ply(p, size=50.0)
+        v, c, f = load_ply(p)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 400.0  # 400 mm in front
+        rgba, depth = render_views(v, c, f, pose[None], TEMPLATES_K, (480, 640))
+
+        assert rgba.shape == (1, 480, 640, 4) and depth.shape == (1, 480, 640)
+        # front face at z = 400 - 25 = 375 mm at the center pixel
+        assert abs(int(depth[0, 240, 320]) - 375) <= 1
+        # silhouette: a 50mm cube at 400mm with f~572 covers ~71px square
+        cover = (rgba[0, :, :, 3] > 0).sum()
+        side = 50 * 572.4114 / 375
+        assert 0.8 * side**2 < cover < 1.4 * side**2
+        # background empty
+        assert depth[0, 0, 0] == 0 and rgba[0, 0, 0, 3] == 0
+
+    def test_zbuffer_occlusion(self, tmp_path):
+        from picopose_tpu.native.renderer import TEMPLATES_K, load_ply, render_views
+
+        p = str(tmp_path / "cube.ply")
+        make_cube_ply(p, size=50.0)
+        v, c, f = load_ply(p)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = 400.0
+        _, depth = render_views(v, c, f, pose[None], TEMPLATES_K, (480, 640))
+        # every hit pixel must show the NEAR surface (z <= 425 = far face)
+        hit = depth[0][depth[0] > 0]
+        assert hit.max() <= 426
+        assert hit.min() >= 374
+
+    def test_bank_layout(self, tmp_path):
+        from picopose_tpu.native.renderer import render_object_bank
+
+        cad = str(tmp_path / "obj_000001.ply")
+        make_cube_ply(cad, size=50.0)
+        out = str(tmp_path / "bank")
+        poses = render_object_bank(cad, out, level=0)
+        assert poses.shape == (42, 4, 4)
+        assert os.path.exists(os.path.join(out, "000001", "000000.png"))
+        assert os.path.exists(os.path.join(out, "000001", "000041_depth.png"))
+        assert os.path.exists(os.path.join(out, "object_poses", "000001.npy"))
+        # bank is loadable by the data layer
+        from picopose_tpu.data.bop import load_template_views
+
+        tem = load_template_views(out, 1, n_views=4)
+        assert tem["tem_rgb"].shape == (4, 224, 224, 3)
+        assert tem["tem_pts3d"].shape == (4, 64, 64, 3)
+        assert np.isfinite(tem["tem_pose"]).all()
+
+
+class TestFastPath:
+    def test_rle_matches_python(self, rng):
+        from picopose_tpu.data.rle import rle_to_mask as py_rle
+        from picopose_tpu.native import fastpath
+
+        m = (rng.random((30, 40)) > 0.6).astype(np.uint8)
+        flat = m.flatten(order="F")
+        counts, cur, run = [], 0, 0
+        for v in flat:
+            if v == cur:
+                run += 1
+            else:
+                counts.append(run)
+                cur, run = v, 1
+        counts.append(run)
+        rle = {"size": [30, 40], "counts": counts}
+        np.testing.assert_array_equal(fastpath.rle_to_mask(rle), py_rle(rle))
+
+    def test_crop_resize_matches_cv2_path(self, rng):
+        from picopose_tpu.data.crops import crop_and_normalize_rgb
+        from picopose_tpu.native import fastpath
+
+        img = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+        bbox = (10, 74, 20, 84)
+        ours = fastpath.crop_resize_normalize(img, bbox, 56)
+        ref = crop_and_normalize_rgb(img, bbox, 56)
+        np.testing.assert_allclose(ours, ref, atol=2e-2)  # cv2 uses fixed-point
+
+    def test_crop_mask_matches_cv2_path(self, rng):
+        from picopose_tpu.data.crops import crop_mask
+        from picopose_tpu.native import fastpath
+
+        m = (rng.random((120, 160)) > 0.5).astype(np.uint8)
+        bbox = (10, 74, 20, 84)
+        ours = fastpath.crop_mask_nearest(m, bbox, 56)
+        ref = crop_mask(m.astype(np.float32), bbox, 56)
+        np.testing.assert_array_equal(ours, ref)
