@@ -117,7 +117,9 @@ def run_batch(
     )
 
     # ---- stage 3: flow refinement -> dense correspondences
-    init_flow, init_cert = init_correspondences(pred_Ms, tem_mask)
+    init_flow, init_cert = init_correspondences(
+        pred_Ms, tem_mask, grid=tem_feats[-1].shape[1]
+    )
     flows, certs = model.apply(
         variables, tem_feats, real_feats, init_flow, init_cert,
         method=model.stage3,

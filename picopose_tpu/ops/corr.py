@@ -87,6 +87,32 @@ def corr_lookup_pyramid(
     return jnp.concatenate(outs, axis=-1)
 
 
+def _neighborhood_dots(feat1, pooled, base, radius):
+    """dot(feat1[p], pooled[base[p] + (dx, dy)]) for the (2r+2)^2 integer
+    neighborhood, with zero for out-of-bounds (matching zeros padding).
+
+    Returns (B, H, W, 2r+2, 2r+2) with axes (..., ny, nx)."""
+    B, H, W, C = feat1.shape
+    Hp, Wp = pooled.shape[1], pooled.shape[2]
+    flat = pooled.reshape(B, Hp * Wp, C)
+    cols = []
+    for dy in range(0, 2 * radius + 2):  # base is already the top-left corner
+        row = []
+        for dx in range(0, 2 * radius + 2):
+            xi = base[..., 0] + dx
+            yi = base[..., 1] + dy
+            ok = (xi >= 0) & (xi <= Wp - 1) & (yi >= 0) & (yi <= Hp - 1)
+            idx = (
+                jnp.clip(yi, 0, Hp - 1) * Wp + jnp.clip(xi, 0, Wp - 1)
+            ).reshape(B, H * W)
+            g = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            g = g.reshape(B, H, W, C)
+            d = jnp.einsum("bhwc,bhwc->bhw", feat1, g, precision="highest")
+            row.append(d * ok.astype(d.dtype))
+        cols.append(jnp.stack(row, axis=-1))  # (B, H, W, 2r+2)
+    return jnp.stack(cols, axis=-2)  # (B, H, W, ny, nx)
+
+
 def corr_lookup(
     feat1: jnp.ndarray,
     feat2: jnp.ndarray,
@@ -104,12 +130,18 @@ def corr_lookup(
 
     Returns (B, H, W, L*(2r+1)^2), numerically equal to
     corr_lookup_pyramid(correlation_pyramid(feat1, feat2, L), flow, r).
+
+    Memory shape: every window tap shares the SAME fractional offset (the
+    integer window rides on one fractional centroid), so instead of
+    gathering (B, H, W, K, C) feature windows we compute dot products on the
+    (2r+2)^2 integer neighborhood once and combine them with the four shared
+    bilinear weights — peak temp is (B, H, W, C) per gather instead of K of
+    them (the naive einsum form OOMs a 16 GB chip at batch 80, 64^2, C=256).
     """
     B, H, W, C = feat1.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(C, dtype=jnp.float32))
     grid = pixel_coords_grid(H, W, flow.dtype) + flow
-    offsets = _window_offsets(radius, flow.dtype)
-    K = offsets.shape[0]
+    n = 2 * radius + 1
 
     outs = []
     pooled = feat2
@@ -117,10 +149,26 @@ def corr_lookup(
         if i > 0:
             pooled = avg_pool2d(pooled, 2)
         centroid = grid / (2.0**i)  # (B, H, W, 2)
-        # (B, H, W, K, 2) sample coords; flatten window into the W axis
-        coords = centroid[:, :, :, None, :] + offsets
-        sampled = bilinear_sample(
-            pooled, coords.reshape(B, H, W * K, 2)
-        ).reshape(B, H, W, K, C)
-        outs.append(jnp.einsum("bhwc,bhwkc->bhwk", feat1, sampled, precision="highest") * scale)
+        cl = jnp.floor(centroid)
+        frac = centroid - cl  # (B, H, W, 2) shared across the window
+        base = cl.astype(jnp.int32) - radius  # top-left neighborhood corner
+        d = _neighborhood_dots(feat1, pooled, base, radius)  # (B,H,W,ny,nx)
+
+        fx = frac[..., 0][..., None, None]
+        fy = frac[..., 1][..., None, None]
+        # out[oy, ox] over the (2r+1)^2 window from the 4 shifted slices
+        d00 = d[..., :n, :n]
+        d01 = d[..., :n, 1:]
+        d10 = d[..., 1:, :n]
+        d11 = d[..., 1:, 1:]
+        win = (
+            (1 - fx) * (1 - fy) * d00
+            + fx * (1 - fy) * d01
+            + (1 - fx) * fy * d10
+            + fx * fy * d11
+        )  # (B, H, W, oy, ox)
+        # reference channel order: k = (ox_index)*(2r+1) + (oy_index)
+        # (outer window index walks x — see module docstring)
+        win = jnp.swapaxes(win, -1, -2).reshape(B, H, W, n * n)
+        outs.append(win * scale)
     return jnp.concatenate(outs, axis=-1)

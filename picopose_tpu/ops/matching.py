@@ -73,6 +73,7 @@ def match_templates(
     query_feat: jnp.ndarray,
     query_mask: jnp.ndarray,
     topk: int = 5,
+    view_chunk: int = 8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Score all template views against the query; return top-k (scores, ids).
 
@@ -86,30 +87,42 @@ def match_templates(
     mask with the reference's argmax-nonzero consistency terms
     (utils/matching.py:47-67).
 
-    Equivalent of matching_templates (utils/matching.py:29-69) with the
-    per-view loop fully batched (one einsum over all N views).
+    Equivalent of matching_templates (utils/matching.py:29-69).  The view
+    axis is processed in `view_chunk`-sized lax.map slices: the full
+    (B, N, S, S) similarity tensor is ~2.7 GB fp32 at B=16, N=162 — far too
+    big to materialize on a 16 GB chip next to the model; only per-view
+    SCORES survive each chunk.
     """
     B, N, h, w, C = tem_feats.shape
     S = h * w
-    q = l2_normalize(query_feat, axis=-1).reshape(B, S, C)
-    t = l2_normalize(tem_feats, axis=-1).reshape(B, N, S, C)
+    q = l2_normalize(query_feat.astype(jnp.float32), axis=-1).reshape(B, S, C)
     qm = _mask_to_grid(query_mask, (h, w)).reshape(B, 1, S)
+    qvalid = qm > 0  # (B, 1, S)
 
-    sim = jnp.einsum("btc,bnsc->bnts", q, t, precision="highest")
-    sim = sim * qm[..., None]
+    pad = (-N) % view_chunk
+    t = l2_normalize(tem_feats.astype(jnp.float32), axis=-1).reshape(B, N, S, C)
+    if pad:
+        t = jnp.concatenate([t, jnp.zeros((B, pad, S, C), t.dtype)], axis=1)
+    n_chunks = (N + pad) // view_chunk
+    t = jnp.moveaxis(
+        t.reshape(B, n_chunks, view_chunk, S, C), 1, 0
+    )  # (n_chunks, B, chunk, S, C)
 
-    score_t2s = sim.max(axis=3)  # (B, N, t)
-    idx_t2s = sim.argmax(axis=3)
-    idx_s2t = sim.argmax(axis=2)  # (B, N, s)
+    def score_chunk(tc):
+        sim = jnp.einsum("btc,bnsc->bnts", q, tc, precision="highest")
+        sim = sim * qm[..., None]
+        score_t2s = sim.max(axis=3)      # (B, c, t)
+        idx_t2s = sim.argmax(axis=3)
+        idx_s2t = sim.argmax(axis=2)     # (B, c, s)
+        mask_all = (
+            qvalid & (idx_s2t != 0) & (idx_t2s != 0)
+        ).astype(sim.dtype)              # aligned-index product, see docstring
+        any_valid = mask_all.sum(axis=2) > 0
+        return jnp.where(
+            any_valid, (score_t2s * mask_all).sum(axis=2) / (S**2), 0.0
+        )  # (B, c)
 
-    mask_all = (
-        (qm > 0)
-        & (idx_s2t != 0)
-        & (idx_t2s != 0)
-    ).astype(sim.dtype)  # (B, N, S) — aligned-index product, see docstring
-    any_valid = mask_all.sum(axis=2) > 0
-    sim_avg = jnp.where(
-        any_valid, (score_t2s * mask_all).sum(axis=2) / (S**2), 0.0
-    )
+    scores_all = jax.lax.map(score_chunk, t)  # (n_chunks, B, chunk)
+    sim_avg = jnp.moveaxis(scores_all, 0, 1).reshape(B, N + pad)[:, :N]
     scores, ids = jax.lax.top_k(sim_avg, topk)
     return scores, ids

@@ -80,6 +80,7 @@ def sample_keypoints(
     # in-range sanity (see module docstring)
     valid &= (jnp.abs(reproj_crop) < crop + 1000.0).all(axis=-1)
 
-    src = (pts_crop / PATCH).reshape(B, grid, grid, 2)
-    tar = (reproj_crop / PATCH).reshape(B, grid, grid, 2)
+    patch = crop / grid  # == PATCH (3.5) at the production 224/64 setting
+    src = (pts_crop / patch).reshape(B, grid, grid, 2)
+    tar = (reproj_crop / patch).reshape(B, grid, grid, 2)
     return KeypointData(src, tar, valid.reshape(B, grid, grid))

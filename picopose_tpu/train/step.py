@@ -105,15 +105,9 @@ def forward_train(model, params, batch_stats, batch, key):
         src_depth=batch["tem_full_depth"],
         tar_mask=batch["real_mask"], tar_M=batch["real_M"], tar_K=batch["real_K"],
         T_src2tar=T_tem2real,
+        crop=batch["tem_mask"].shape[1],
     )
-    kp_rev = sample_keypoints(
-        src_mask=batch["real_mask"], src_M=batch["real_M"], src_K=batch["real_K"],
-        src_depth=batch["real_full_depth"],
-        tar_mask=batch["tem_mask"], tar_M=batch["tem_M"], tar_K=batch["tem_K"],
-        T_src2tar=T_real2tem,
-    )
-    del kp_rev  # forward-direction correspondences drive all losses
-
+    del T_real2tem  # reverse-direction validity is already folded into kp
     losses = {}
     mutated = batch_stats
 
@@ -154,7 +148,9 @@ def forward_train(model, params, batch_stats, batch, key):
         batch["tem_M"], batch["real_M"],
     )
     noisy_Ms = jax.lax.stop_gradient(perturb_affine(k_aug, gt_Ms))
-    init_flow, init_cert = init_correspondences(noisy_Ms, batch["tem_mask"])
+    init_flow, init_cert = init_correspondences(
+        noisy_Ms, batch["tem_mask"], grid=feats_tem[-1].shape[1]
+    )
     (flows, certs), mut = model.apply(
         {"params": params, "batch_stats": mutated},
         feats_tem, feats_real, init_flow, init_cert, True,

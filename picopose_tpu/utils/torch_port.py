@@ -43,7 +43,12 @@ def _conv(sd, k, bias=True):
 
 
 def _convT(sd, k, bias=True):
-    out = {"kernel": sd[f"{k}.weight"].transpose(2, 3, 0, 1).copy()}
+    # torch IOHW -> HWIO, then flip both spatial axes: flax ConvTranspose
+    # (transpose_kernel=False) correlates with the flipped kernel relative to
+    # torch's ConvTranspose2d (verified numerically in
+    # tests/test_torch_port_stage3.py).
+    kernel = sd[f"{k}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    out = {"kernel": kernel}
     if bias:
         out["bias"] = sd[f"{k}.bias"].copy()
     return out
