@@ -77,9 +77,8 @@ def run_batch(
     feats_real = model.apply(
         variables, batch["real_rgb"], method=model.features
     )
-    bank_last = bank.feats[-1]
     scores, ids = match_templates(
-        jnp.broadcast_to(bank_last[None], (B, *bank_last.shape)),
+        bank.feats[-1],  # shared (N, h, w, C) bank — no per-item broadcast
         feats_real[-1],
         batch["real_mask"],
         topk=hyp,

@@ -74,13 +74,16 @@ def match_templates(
     query_mask: jnp.ndarray,
     topk: int = 5,
     view_chunk: int = 8,
+    impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Score all template views against the query; return top-k (scores, ids).
 
     Args:
-      tem_feats:  (B, N, h, w, C) cached per-view stage-1 features.
+      tem_feats:  (N, h, w, C) shared bank, or (B, N, h, w, C) per-item
+                  cached stage-1 features.
       query_feat: (B, h, w, C).
       query_mask: (B, Hm, Wm) query crop mask.
+      impl:       'auto' (Pallas kernel on TPU for shared banks) | 'xla'.
 
     Per view: sim[t, s] = cos(query[t], tem[s]) * query_mask[t]; score =
     sum_t max_s sim[t, s] * valid[t] / (h*w)^2 where valid combines the query
@@ -93,23 +96,43 @@ def match_templates(
     big to materialize on a 16 GB chip next to the model; only per-view
     SCORES survive each chunk.
     """
-    B, N, h, w, C = tem_feats.shape
+    shared_bank = tem_feats.ndim == 4  # (N, h, w, C): one bank for the batch
+    if shared_bank:
+        N, h, w, C = tem_feats.shape
+    else:
+        _, N, h, w, C = tem_feats.shape
+    B = query_feat.shape[0]
     S = h * w
     q = l2_normalize(query_feat.astype(jnp.float32), axis=-1).reshape(B, S, C)
     qm = _mask_to_grid(query_mask, (h, w)).reshape(B, 1, S)
     qvalid = qm > 0  # (B, 1, S)
+    t = l2_normalize(tem_feats.astype(jnp.float32), axis=-1)
+
+    if shared_bank and impl != "xla" and jax.devices()[0].platform == "tpu":
+        from picopose_tpu.ops.pallas.matching import match_scores_pallas
+
+        sim_avg = match_scores_pallas(
+            q, qm.reshape(B, S), t.reshape(N, S, C)
+        )
+        return jax.lax.top_k(sim_avg, topk)
 
     pad = (-N) % view_chunk
-    t = l2_normalize(tem_feats.astype(jnp.float32), axis=-1).reshape(B, N, S, C)
+    t = t.reshape((N, S, C) if shared_bank else (B, N, S, C))
     if pad:
-        t = jnp.concatenate([t, jnp.zeros((B, pad, S, C), t.dtype)], axis=1)
+        zshape = (pad, S, C) if shared_bank else (B, pad, S, C)
+        t = jnp.concatenate([t, jnp.zeros(zshape, t.dtype)], axis=-3)
     n_chunks = (N + pad) // view_chunk
-    t = jnp.moveaxis(
-        t.reshape(B, n_chunks, view_chunk, S, C), 1, 0
-    )  # (n_chunks, B, chunk, S, C)
+    if shared_bank:
+        t = t.reshape(n_chunks, view_chunk, S, C)
+        sim_eq = "btc,nsc->bnts"
+    else:
+        t = jnp.moveaxis(
+            t.reshape(B, n_chunks, view_chunk, S, C), 1, 0
+        )  # (n_chunks, B, chunk, S, C)
+        sim_eq = "btc,bnsc->bnts"
 
     def score_chunk(tc):
-        sim = jnp.einsum("btc,bnsc->bnts", q, tc, precision="highest")
+        sim = jnp.einsum(sim_eq, q, tc, precision="highest")
         sim = sim * qm[..., None]
         score_t2s = sim.max(axis=3)      # (B, c, t)
         idx_t2s = sim.argmax(axis=3)
