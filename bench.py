@@ -81,18 +81,30 @@ def main(
 
     key = jax.random.PRNGKey(1)
     out = run_batch_jit(model, variables, batch_data, bank, key, hyp=hyp)
-    jax.block_until_ready(out)  # compile + warmup
+    _ = float(out.inlier_ratio.sum())  # compile + warmup (host-fetch sync)
 
+    # Timing discipline: the device tunnel in this environment memoizes
+    # identical executions and reports early readiness, so every iteration
+    # (a) gets UNIQUE inputs and (b) ends with a device->host fetch of a
+    # scalar that depends on the whole pipeline — the only sync that cannot
+    # be satisfied without actually running the program.
+    lat = []
+    acc = 0.0
     t0 = time.perf_counter()
     for i in range(iters):
+        b = dict(batch_data)
+        b["real_rgb"] = batch_data["real_rgb"] + jnp.float32((i + 1) * 1e-6)
+        ti = time.perf_counter()
         out = run_batch_jit(
-            model, variables, batch_data, bank, jax.random.PRNGKey(i), hyp=hyp
+            model, variables, b, bank, jax.random.PRNGKey(i), hyp=hyp
         )
-    jax.block_until_ready(out)
+        acc += float(out.inlier_ratio.sum()) + float(out.R.sum())
+        lat.append(time.perf_counter() - ti)
     dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))
     crops_per_sec = batch * iters / dt / n_chips
+    p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
     print(
         json.dumps(
             {
@@ -100,6 +112,11 @@ def main(
                 "value": round(crops_per_sec, 3),
                 "unit": "crops/s/chip",
                 "vs_baseline": round(crops_per_sec / REF_CROPS_PER_SEC, 3),
+                "p50_batch_latency_ms": round(p50_ms, 2),
+                "batch": batch,
+                "hyp": hyp,
+                "views": views,
+                "checksum": round(acc, 3),
             }
         )
     )

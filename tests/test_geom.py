@@ -65,7 +65,9 @@ class TestAffineBasics:
             for n in range(7):
                 ph = np.array([*np.array(pts[b, n]), 1.0])
                 expect = np.array(M[b]) @ ph
-                np.testing.assert_allclose(out[b, n], expect[:2] / expect[2], rtol=1e-6)
+                np.testing.assert_allclose(
+                    out[b, n], expect[:2] / expect[2], rtol=1e-5, atol=1e-6
+                )
 
     def test_make_affine_scale_rot_trans(self):
         R = rotation_2d(cos_sin(jnp.array([np.pi / 2])))

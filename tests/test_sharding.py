@@ -1,0 +1,68 @@
+"""Sharded execution tests on the 8-device virtual CPU mesh.
+
+The training-step sharding is covered by tests/test_train.py (dryrun); here
+the EVAL pipeline runs data-parallel: batch sharded over 'data', bank and
+params replicated, one jitted program — the layout used on a real slice.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from picopose_tpu.data.synthetic import make_pose, make_view, query_pts2d
+from picopose_tpu.eval.pipeline import build_bank, run_batch_jit
+from picopose_tpu.models import PicoPose
+from picopose_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+SMALL = dict(vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7))
+
+
+@pytest.mark.slow
+def test_eval_pipeline_sharded_over_mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    mesh = make_mesh(n_data=8)
+
+    model = PicoPose(**SMALL, compute_dtype=jnp.float32)
+    imgs = jnp.zeros((1, 224, 224, 3))
+    masks = jnp.ones((1, 224, 224))
+    variables = model.init(jax.random.PRNGKey(0), imgs, masks, True)
+
+    tviews = [make_view(make_pose(a, 0.5, z=0.45), 0.05) for a in (0.3, 1.5, 3.0)]
+    bank = build_bank(
+        model, variables,
+        jnp.asarray(np.stack([v.rgb for v in tviews])),
+        jnp.asarray(np.stack([v.mask for v in tviews])),
+        jnp.asarray(np.stack([v.depth_crop_pts for v in tviews])),
+        jnp.asarray(np.stack([v.pose for v in tviews])),
+        jnp.asarray(np.stack([v.K for v in tviews])),
+        jnp.asarray(np.stack([v.M for v in tviews])),
+    )
+
+    qry = make_view(make_pose(0.4, 0.6, z=0.6), 0.05)
+    B = 8  # one instance per device
+    rep = lambda x: jnp.repeat(jnp.asarray(x)[None], B, axis=0)
+    batch = {
+        "real_rgb": rep(qry.rgb),
+        "real_mask": rep(qry.mask),
+        "real_M": rep(qry.M),
+        "real_K": rep(qry.K),
+        "real_pts2d": rep(query_pts2d(qry.M)),
+    }
+    bs = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    variables_r = jax.device_put(variables, replicated(mesh))
+    bank_r = jax.device_put(bank, replicated(mesh))
+
+    with mesh:
+        out = run_batch_jit(
+            model, variables_r, batch, bank_r, jax.random.PRNGKey(0),
+            hyp=2, pnp_iters=16,
+        )
+    assert out.R.shape == (8, 2, 3, 3)
+    assert np.isfinite(np.asarray(out.R)).all()
+    # identical inputs on every shard -> identical outputs per device...
+    # except PnP keys differ per batch element (split by index) — check the
+    # deterministic stage-2 scores instead.
+    s = np.asarray(out.template_score)
+    np.testing.assert_allclose(s, np.broadcast_to(s[0:1], s.shape), atol=1e-5)
