@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
     q = q_ref[0].astype(jnp.float32)       # (S, C) normalized query
     t = t_ref[0].astype(jnp.float32)       # (S, C) normalized template view
-    qm = qm_ref[0].astype(jnp.float32)     # (S,) query-patch mask
+    qm = qm_ref[0, 0].astype(jnp.float32)  # (S,) query-patch mask
 
     sim = jax.lax.dot_general(
         q, t, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -37,7 +37,9 @@ def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
     vf = valid.astype(jnp.float32)
     any_valid = vf.sum() > 0
     score = jnp.where(any_valid, (score_t2s * vf).sum() / (S * S), 0.0)
-    out_ref[0, 0] = score
+    # out block (1, N) is revisited across the minor grid axis; each program
+    # deposits its view's scalar
+    out_ref[0, pl.program_id(1)] = score
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -56,12 +58,12 @@ def match_scores_pallas(
         grid=(B, N),
         in_specs=[
             pl.BlockSpec((1, S, C), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, S, C), lambda b, n: (n, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda b, n: (b, n), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, N), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * S * S * C,
@@ -69,5 +71,5 @@ def match_scores_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_norm, q_mask, t_norm)
+    )(q_norm, q_mask.reshape(B, 1, S), t_norm)
     return out
