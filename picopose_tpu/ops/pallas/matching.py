@@ -37,9 +37,9 @@ def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
     vf = valid.astype(jnp.float32)
     any_valid = vf.sum() > 0
     score = jnp.where(any_valid, (score_t2s * vf).sum() / (S * S), 0.0)
-    # out block (1, N) is revisited across the minor grid axis; each program
-    # deposits its view's scalar
-    out_ref[0, pl.program_id(1)] = score
+    # the whole (B, N) score table is one VMEM-resident block revisited by
+    # every program (it's tiny); each deposits its scalar
+    out_ref[pl.program_id(0), pl.program_id(1)] = score
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -63,7 +63,7 @@ def match_scores_pallas(
                 (1, S, C), lambda b, n: (n, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((1, N), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((B, N), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * S * S * C,
