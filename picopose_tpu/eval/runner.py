@@ -42,10 +42,27 @@ def evaluate_dataset(
     batch_size: int = 16,
     pnp_iters: int = 150,
     progress: bool = True,
+    use_mesh: bool | None = None,
 ) -> str:
-    """Run the full dataset; returns the CSV path."""
+    """Run the full dataset; returns the CSV path.
+
+    With multiple local devices (use_mesh=None auto-detects), batches are
+    sharded over the mesh 'data' axis and the bank/params replicated — the
+    same one-program pipeline runs data-parallel across the slice.
+    """
     import jax
     import jax.numpy as jnp
+
+    from picopose_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    if use_mesh is None:
+        use_mesh = jax.device_count() > 1
+    mesh = make_mesh() if use_mesh else None
+    if mesh is not None:
+        # round batches up to a multiple of the data axis
+        n_data = mesh.shape["data"]
+        batch_size = ((batch_size + n_data - 1) // n_data) * n_data
+        variables = jax.device_put(variables, replicated(mesh))
 
     t_load0 = time.perf_counter()
     images = [dataset.load_image(i) for i in range(len(dataset))]
@@ -77,6 +94,8 @@ def evaluate_dataset(
             jnp.asarray(tem["tem_pts3d"]), jnp.asarray(tem["tem_pose"]),
             jnp.asarray(tem["tem_K"]), jnp.asarray(tem["tem_M"]),
         )
+        if mesh is not None:
+            bank = jax.device_put(bank, replicated(mesh))
         if progress:
             print(
                 f"[{dataset.dataset}] obj {obj_id}: bank "
@@ -105,6 +124,9 @@ def evaluate_dataset(
                 "real_K": stack("K"),
                 "real_pts2d": stack("pts2d"),
             }
+            if mesh is not None:
+                bsh = batch_sharding(mesh)
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
             key, sub = jax.random.split(key)
             tb0 = time.perf_counter()
             out = run_batch_jit(

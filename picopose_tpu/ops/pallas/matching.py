@@ -19,26 +19,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
-    q = q_ref[0].astype(jnp.float32)       # (S, C) normalized query
-    t = t_ref[0].astype(jnp.float32)       # (S, C) normalized template view
-    qm = qm_ref[0, 0].astype(jnp.float32)  # (S,) query-patch mask
+    """Mosaic-friendly formulation: no 1-D vectors, no argmax, no transpose.
+
+    argmax-validity terms become strict-max comparisons (argmax over an axis
+    is 0 iff the 0th entry EQUALS the max, since jnp/torch argmax tie-breaks
+    to the first index), and the aligned-index product of a column-space
+    vector with row-space vectors collapses through a (1, S) x (S, 1) dot —
+    everything stays 2-D and MXU/VPU-shaped.
+    """
+    q = q_ref[0].astype(jnp.float32)         # (S, C) normalized query
+    t = t_ref[0].astype(jnp.float32)         # (S, C) normalized template view
+    qm_col = qm_ref[0].astype(jnp.float32)   # (S, 1) query-patch mask
 
     sim = jax.lax.dot_general(
         q, t, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (S_query, S_template)
-    sim = sim * qm[:, None]
+    sim = sim * qm_col
 
-    score_t2s = sim.max(axis=1)      # (S,)
-    idx_t2s = sim.argmax(axis=1)
-    idx_s2t = sim.argmax(axis=0)     # (S,)
+    rowmax = sim.max(axis=1, keepdims=True)           # (S, 1) score_t2s
+    t_valid = (sim[:, 0:1] < rowmax).astype(jnp.float32)   # idx_t2s != 0
+    colmax = sim.max(axis=0, keepdims=True)           # (1, S)
+    s_valid = (sim[0:1, :] < colmax).astype(jnp.float32)   # idx_s2t != 0
 
-    valid = (qm > 0) & (idx_s2t != 0) & (idx_t2s != 0)
-    vf = valid.astype(jnp.float32)
-    any_valid = vf.sum() > 0
-    score = jnp.where(any_valid, (score_t2s * vf).sum() / (S * S), 0.0)
-    # the whole (B, N) score table is one VMEM-resident block revisited by
-    # every program (it's tiny); each deposits its scalar
+    qv = (qm_col > 0).astype(jnp.float32)
+    row_terms = qv * t_valid                          # (S, 1)
+
+    def rowdot(col):  # (1, S) x (S, 1) -> scalar
+        return jax.lax.dot_general(
+            s_valid, col, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0, 0]
+
+    count = rowdot(row_terms)
+    total = rowdot(rowmax * row_terms)
+    score = jnp.where(count > 0, total / (S * S), 0.0)
+    # the whole (B, N) score table is one SMEM-resident block revisited by
+    # every program (scalar stores must target SMEM on TPU)
     out_ref[pl.program_id(0), pl.program_id(1)] = score
 
 
@@ -58,12 +75,12 @@ def match_scores_pallas(
         grid=(B, N),
         in_specs=[
             pl.BlockSpec((1, S, C), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 1), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, S, C), lambda b, n: (n, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((B, N), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((B, N), lambda b, n: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * S * S * C,
@@ -71,5 +88,5 @@ def match_scores_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_norm, q_mask.reshape(B, 1, S), t_norm)
+    )(q_norm, q_mask.reshape(B, S, 1), t_norm)
     return out

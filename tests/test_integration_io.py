@@ -206,6 +206,55 @@ def megapose_tree(tmp_path_factory, cube_assets):
     return str(root)
 
 
+class TestTrainingLoop:
+    def test_run_training_smoke(self, megapose_tree, tmp_path, monkeypatch):
+        """Three steps of the real training loop (prefetch threads, logger,
+        epoch checkpointing) over the fake shard tree."""
+        import jax.numpy as jnp
+
+        from picopose_tpu.models import PicoPose
+        from picopose_tpu.train.loop import run_training
+        from picopose_tpu.utils.config import load_config
+
+        cfg = load_config(None, [
+            f"train_dataset.data_dir={megapose_tree}",
+            "train_dataset.min_px_count_visib=100",
+            "train_dataloader.bs=1",
+            "train_dataloader.num_workers=2",
+            "lr_scheduler.max_iters=9",
+            "trainer.training_epoch=3",
+            "trainer.iters_to_print=1",
+            "trainer.n_devices=1",
+        ])
+        # the 162-view default search table exceeds the 42-view fake bank;
+        # point the dataset at the bank's own table
+        import numpy as np_
+
+        table = np_.load(os.path.join(
+            megapose_tree, "MegaPose-Templates", "GSO", "object_poses",
+            "000001.npy",
+        ))
+        import picopose_tpu.train.loop as loop_mod
+
+        orig = loop_mod.MegaPoseTrainingDataset
+
+        def patched(*a, **k):
+            k["pose_table"] = table
+            return orig(*a, **k)
+
+        monkeypatch.setattr(loop_mod, "MegaPoseTrainingDataset", patched)
+
+        model = PicoPose(
+            vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7),
+            compute_dtype=jnp.float32,
+        )
+        log_dir = str(tmp_path / "log")
+        run_training(cfg, model, log_dir, max_steps=3)
+        assert os.path.exists(os.path.join(log_dir, "training_logger.log"))
+        ckpts = os.listdir(os.path.join(log_dir, "checkpoints"))
+        assert len(ckpts) >= 1
+
+
 class TestMegaPoseTrainingData:
     def test_sample_and_train_step(self, megapose_tree):
         import jax
