@@ -29,8 +29,11 @@ class TemplateBank(NamedTuple):
     """Per-object on-device template cache.
 
     Unlike the reference's bank (last ViT level only, run_test.py:120-134),
-    we cache all four backbone taps so hypotheses never re-run the ViT
-    (fixes the re-run at model/picopose.py:78).
+    we cache all four backbone taps — so hypotheses never re-run the ViT
+    (fixes the re-run at model/picopose.py:78) — AND the template-side DPT
+    pyramids, so stage 3 does zero template conv work per query.  One bank
+    is resident at a time (the eval runner groups instances by object), so
+    the extra ~0.5 GB bf16 per 162-view bank is cheap.
     """
 
     feats: tuple[jnp.ndarray, ...]  # 4 x (N, 16, 16, C)
@@ -39,6 +42,7 @@ class TemplateBank(NamedTuple):
     pose: jnp.ndarray               # (N, 4, 4)
     K: jnp.ndarray                  # (N, 3, 3)
     M: jnp.ndarray                  # (N, 3, 3) crop affines
+    dpt: tuple[jnp.ndarray, ...] | None = None  # 3 x (N, g_l, g_l, 256)
 
 
 class EvalOutput(NamedTuple):
@@ -86,7 +90,7 @@ def run_batch(
 
     # ---- gather per-hypothesis template data; fold HYP into batch
     BH = B * hyp
-    tem_feats = [_take(f, ids) for f in bank.feats]         # 4 x (BH, 16, 16, C)
+    tem_last = _take(bank.feats[-1], ids)                   # (BH, 16, 16, C)
     tem_mask = _take(bank.mask, ids)
     tem_pts3d = _take(bank.pts3d, ids)
     tem_pose = _take(bank.pose, ids)
@@ -98,7 +102,6 @@ def run_batch(
         return jnp.tile(x[:, None], reps).reshape(BH, *x.shape[1:])
 
     real_last = tile(feats_real[-1])
-    real_feats = [tile(f) for f in feats_real]
     real_mask = tile(batch["real_mask"])
     real_M = tile(batch["real_M"])
     real_K = tile(batch["real_K"])
@@ -106,7 +109,7 @@ def run_batch(
 
     # ---- stage 2: affine + recovered pose (also the PnP fallback)
     translation, scale, inplane = model.apply(
-        variables, tem_feats[-1], real_last, tem_mask, method=model.stage2
+        variables, tem_last, real_last, tem_mask, method=model.stage2
     )
     pred_Ms = affine_from_prediction(
         scale, inplane, translation, tem_pose, tem_K, tem_M
@@ -115,13 +118,23 @@ def run_batch(
         real_M, real_K, pred_Ms, tem_K, tem_M, tem_pose
     )
 
-    # ---- stage 3: flow refinement -> dense correspondences
+    # ---- stage 3: flow refinement -> dense correspondences.
+    # Template DPT pyramids come from the bank (zero per-query template
+    # convs); the query pyramid is computed once at B and tiled to B*hyp.
     init_flow, init_cert = init_correspondences(
-        pred_Ms, tem_mask, grid=tem_feats[-1].shape[1]
+        pred_Ms, tem_mask, grid=tem_last.shape[1]
     )
+    if bank.dpt is not None:
+        tem_pyr = [_take(p, ids) for p in bank.dpt]
+    else:
+        tem_pyr = model.apply(
+            variables, [_take(f, ids) for f in bank.feats], method=model.dpt
+        )
+    real_pyr = model.apply(variables, feats_real, method=model.dpt)
+    real_pyr = [tile(p) for p in real_pyr]
     flows, certs = model.apply(
-        variables, tem_feats, real_feats, init_flow, init_cert,
-        method=model.stage3,
+        variables, tem_pyr, real_pyr, init_flow, init_cert,
+        method=model.flow,
     )
     tar_pts, valid = final_correspondences(flows[-1], certs[-1])
 
@@ -174,24 +187,35 @@ def run_batch_jit(model, variables, batch, bank, key, hyp=5, pnp_iters=150):
 
 def build_bank(
     model, variables, tem_rgb, tem_mask, tem_pts3d, tem_pose, tem_K, tem_M,
-    chunk: int = 32,
+    chunk: int = 32, cache_dpt: bool = True,
 ) -> TemplateBank:
-    """Precompute a TemplateBank by running the backbone over all N views.
+    """Precompute a TemplateBank: backbone taps (+ DPT pyramids) over all N
+    views.
 
     Chunked to bound peak memory; equivalent of run_test.py:120-134 but
-    caching all four taps.
+    caching all four taps and (cache_dpt) the stage-3 template pyramids.
     """
     N = tem_rgb.shape[0]
     feats_chunks = []
-    apply = jax.jit(
-        lambda v, x: model.apply(v, x, method=model.features), static_argnums=()
-    )
+    dpt_chunks = []
+    feat_fn = jax.jit(lambda v, x: model.apply(v, x, method=model.features))
+    dpt_fn = jax.jit(lambda v, f: model.apply(v, f, method=model.dpt))
     for s in range(0, N, chunk):
-        feats_chunks.append(apply(variables, tem_rgb[s : s + chunk]))
+        f = feat_fn(variables, tem_rgb[s : s + chunk])
+        feats_chunks.append(f)
+        if cache_dpt:
+            dpt_chunks.append(dpt_fn(variables, list(f)))
     feats = tuple(
         jnp.concatenate([c[i] for c in feats_chunks], axis=0) for i in range(4)
     )
+    dpt = (
+        tuple(
+            jnp.concatenate([c[i] for c in dpt_chunks], axis=0) for i in range(3)
+        )
+        if cache_dpt
+        else None
+    )
     return TemplateBank(
         feats=feats, mask=tem_mask, pts3d=tem_pts3d,
-        pose=tem_pose, K=tem_K, M=tem_M,
+        pose=tem_pose, K=tem_K, M=tem_M, dpt=dpt,
     )

@@ -95,7 +95,11 @@ class FlowDecoder(nn.Module):
             ft = proj_bn(proj_conv(tem_feats[level]))
             fr = proj_bn(proj_conv(real_feats[level]))
             corr = corr_lookup(ft, fr, flow, lookup_radius, level + 1)
-            motion = MotionEncoder(name=f"encoder_{level}")(corr, flow)
+            # keep the conv stacks in the feature compute dtype (bf16 on TPU);
+            # flow itself stays fp32 through the residual adds below
+            motion = MotionEncoder(name=f"encoder_{level}")(
+                corr.astype(ft.dtype), flow.astype(ft.dtype)
+            )
             fr_hat = warp_by_flow(fr, flow)
             x = jnp.concatenate([ft, fr_hat, motion], axis=-1)
             flow = flow + XHead(2, "flow", name=f"flow_pred_{level}")(x)

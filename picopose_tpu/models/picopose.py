@@ -67,6 +67,34 @@ class PicoPose(nn.Module):
         )
         return self.affine_regressor(sim)
 
+    def dpt(self, feats: list[jnp.ndarray], train: bool = False):
+        """DPT pyramid on a 4-level backbone stack (compute_dtype).
+
+        Exposed separately so template pyramids can be cached in the bank
+        and query pyramids computed once per batch (the reference recomputes
+        both per hypothesis inside OffsetRegressor, offset_regressor.py:17).
+        """
+        cast = [x.astype(self.compute_dtype) for x in feats]
+        return self.dpt_head(cast, train=train)
+
+    def flow(
+        self,
+        tem_pyr: list[jnp.ndarray],
+        real_pyr: list[jnp.ndarray],
+        init_flow: jnp.ndarray,
+        init_certainty: jnp.ndarray,
+        train: bool = False,
+    ):
+        """Flow decoding over precomputed DPT pyramids; fp32 outputs."""
+        flows, certs = self.flow_decoder(
+            [x.astype(self.compute_dtype) for x in tem_pyr],
+            [x.astype(self.compute_dtype) for x in real_pyr],
+            init_flow.astype(jnp.float32), init_certainty.astype(jnp.float32),
+            train=train,
+        )
+        f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
+        return f32(flows), f32(certs)
+
     def stage3(
         self,
         tem_feats: list[jnp.ndarray],
@@ -78,14 +106,15 @@ class PicoPose(nn.Module):
         """DPT on both feature stacks (shared weights) + flow decoding.
 
         Mirrors model/stage3/offset_regressor.py:16-19.  Returns per-level
-        (flows, certainty logits).
+        (flows, certainty logits, in fp32).
+
+        The conv stacks run in compute_dtype (bf16 on TPU — they are the
+        pipeline's FLOP hotspot, ~60 TFLOP per 80-crop batch at the 64^2
+        level); flow/certainty accumulate in fp32 via the residual adds.
         """
-        f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
-        tem_pyr = self.dpt_head(f32(tem_feats), train=train)
-        real_pyr = self.dpt_head(f32(real_feats), train=train)
-        return self.flow_decoder(
-            tem_pyr, real_pyr, init_flow, init_certainty, train=train
-        )
+        tem_pyr = self.dpt(tem_feats, train=train)
+        real_pyr = self.dpt(real_feats, train=train)
+        return self.flow(tem_pyr, real_pyr, init_flow, init_certainty, train=train)
 
     def __call__(self, images: jnp.ndarray, masks: jnp.ndarray, train: bool = False):
         """Parameter-initialization path: touches every submodule once.

@@ -91,9 +91,22 @@ def _weighted_dlt(pts3d, uv, w):
     row2 = jnp.concatenate([zeros, Xh, -v * Xh], -1)
     A = jnp.concatenate([row1 * w[..., None], row2 * w[..., None]], -2)  # (2N, 12)
     AtA = _EINSUM("ni,nj->ij", A, A)
-    # smallest eigenvector of AtA
-    evals, evecs = jnp.linalg.eigh(AtA)
-    p = evecs[..., 0]
+    # Smallest eigenvector of AtA by shifted-Cholesky inverse iteration:
+    # lambda_min ~ 0 while lambda_2 is O(1) after Hartley normalization, so
+    # 3 solves converge — and a 12x12 Cholesky + triangular solves is far
+    # cheaper on TPU than the Jacobi eigh this replaces (eigh dominated the
+    # whole RANSAC stage when vmapped over batch x 150 hypotheses).
+    shift = 1e-7 * jnp.trace(AtA) / 12.0 + 1e-12
+    L = jnp.linalg.cholesky(AtA + shift * jnp.eye(12, dtype=AtA.dtype))
+    x = jnp.ones((12,), AtA.dtype)
+
+    def inv_iter(_, x):
+        y = jax.scipy.linalg.cho_solve((L, True), x)
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
+
+    p = jax.lax.fori_loop(0, 3, inv_iter, x / jnp.sqrt(12.0))
+    # fall back to a fresh start if cholesky failed (degenerate sample)
+    p = jnp.where(jnp.isfinite(p).all(), p, jnp.ones((12,), AtA.dtype))
     P = p.reshape(3, 4)
 
     # de-normalize: x_n = s2 (x - c2);  X_n = s3 (X - c3)
@@ -168,7 +181,8 @@ def _gauss_newton(pts3d, uv, w, R, t, iters: int):
         J = _EINSUM("nij,njk->nik", J_pi, J_p) * w[..., None, None]  # (N, 2, 6)
         JtJ = _EINSUM("nik,nil->kl", J, J) + 1e-6 * jnp.eye(6, dtype=p.dtype)
         Jtr = _EINSUM("nik,ni->k", J, r)
-        delta = -jnp.linalg.solve(JtJ, Jtr)
+        Lc = jnp.linalg.cholesky(JtJ)
+        delta = -jax.scipy.linalg.cho_solve((Lc, True), Jtr)
         nu, omega = delta[:3], delta[3:]
         dR = _exp_so3(omega)
         R_new = _EINSUM("ij,jk->ik", dR, R)
