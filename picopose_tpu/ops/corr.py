@@ -3,21 +3,18 @@
 Rebuilds model/stage3/raft_decoder.py:14-53 (CorrelationPyramid) and
 utils/corr_lookup.py:69-134 (CorrLookup) — with a TPU-first twist:
 
-The reference materializes the full 4D all-pairs volume (N*H*W, 1, H, W)
-then avg-pools and grid-samples it.  At the 64x64 level that volume is
-H^2 * W^2 = 16.8M entries per item (0.5 GB at batch 8, fp32) and its
-construction is a (H*W)x(H*W)xC matmul.  But average pooling and bilinear
-sampling are both LINEAR in feat2, so
+The reference materializes the full 4D all-pairs volume (N*H*W, 1, H, W),
+avg-pools it into a pyramid and grid-samples windows from it.  Avg pooling
+and bilinear sampling are both LINEAR in feat2, so
 
     pool_i(corr)(p, q) == <feat1[p], pool_i(feat2)[q]> / sqrt(C)
 
-and the windowed lookup can be computed directly: bilinear-sample the POOLED
-feature map feat2 at each window location, then dot with feat1.  That's
-L*(2r+1)^2*C FLOPs per query pixel instead of H*W*C — ~27x fewer FLOPs at
-64x64 with radius 2 — and nothing bigger than the feature maps is ever
-materialized.  `corr_lookup` (direct form) is the production path;
-`correlation_pyramid` + `corr_lookup_pyramid` reproduce the reference
-dataflow and pin the equivalence in tests/test_corr.py.
+which frees the lookup from the reference's dataflow entirely.  After
+benchmarking four formulations on TPU (see `corr_lookup`'s docstring), the
+production path recomputes per-pixel correlation rows on the MXU and
+evaluates the bilinear window as two dense one-hot contractions — zero
+HBM gathers.  `correlation_pyramid` + `corr_lookup_pyramid` reproduce the
+reference dataflow and pin the equivalence in tests/test_ops.py.
 
 Window-channel ordering quirk (preserved for weight portability): the
 reference builds window offsets with meshgrid(dy, dx) but ADDS them to an
@@ -27,7 +24,9 @@ samples offset (x + (i - r), y + (j - r)) — the outer window index walks x.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from picopose_tpu.geom.grids import pixel_coords_grid
 from picopose_tpu.ops.resize import avg_pool2d
@@ -87,32 +86,6 @@ def corr_lookup_pyramid(
     return jnp.concatenate(outs, axis=-1)
 
 
-def _neighborhood_dots(feat1, pooled, base, radius):
-    """dot(feat1[p], pooled[base[p] + (dx, dy)]) for the (2r+2)^2 integer
-    neighborhood, with zero for out-of-bounds (matching zeros padding).
-
-    Returns (B, H, W, 2r+2, 2r+2) with axes (..., ny, nx)."""
-    B, H, W, C = feat1.shape
-    Hp, Wp = pooled.shape[1], pooled.shape[2]
-    flat = pooled.reshape(B, Hp * Wp, C)
-    cols = []
-    for dy in range(0, 2 * radius + 2):  # base is already the top-left corner
-        row = []
-        for dx in range(0, 2 * radius + 2):
-            xi = base[..., 0] + dx
-            yi = base[..., 1] + dy
-            ok = (xi >= 0) & (xi <= Wp - 1) & (yi >= 0) & (yi <= Hp - 1)
-            idx = (
-                jnp.clip(yi, 0, Hp - 1) * Wp + jnp.clip(xi, 0, Wp - 1)
-            ).reshape(B, H * W)
-            g = jnp.take_along_axis(flat, idx[..., None], axis=1)
-            g = g.reshape(B, H, W, C)
-            d = jnp.einsum("bhwc,bhwc->bhw", feat1, g, precision="highest")
-            row.append(d * ok.astype(d.dtype))
-        cols.append(jnp.stack(row, axis=-1))  # (B, H, W, 2r+2)
-    return jnp.stack(cols, axis=-2)  # (B, H, W, ny, nx)
-
-
 def corr_lookup(
     feat1: jnp.ndarray,
     feat2: jnp.ndarray,
@@ -120,7 +93,7 @@ def corr_lookup(
     radius: int,
     num_levels: int,
 ) -> jnp.ndarray:
-    """Direct windowed correlation lookup — no materialized volume.
+    """Windowed correlation lookup, TPU-shaped (gather-free).
 
     Args:
       feat1: (B, H, W, C) "template" features (the lookup's query side).
@@ -131,44 +104,81 @@ def corr_lookup(
     Returns (B, H, W, L*(2r+1)^2), numerically equal to
     corr_lookup_pyramid(correlation_pyramid(feat1, feat2, L), flow, r).
 
-    Memory shape: every window tap shares the SAME fractional offset (the
-    integer window rides on one fractional centroid), so instead of
-    gathering (B, H, W, K, C) feature windows we compute dot products on the
-    (2r+2)^2 integer neighborhood once and combine them with the four shared
-    bilinear weights — peak temp is (B, H, W, C) per gather instead of K of
-    them (the naive einsum form OOMs a 16 GB chip at batch 80, 64^2, C=256).
+    Dataflow (measured winner on TPU by ~8x over every gather formulation):
+    recompute each level's correlation row per query pixel with an MXU
+    matmul (FLOPs are cheap), then evaluate the bilinear window as TWO small
+    dense contractions win = Ay @ corr_map @ Ax^T, where Ay/Ax are per-pixel
+    (2r+1, Hp)/(2r+1, Wp) interpolation matrices holding the two bilinear
+    taps per window row/column (built from iota comparisons on the VPU).
+    No gathers anywhere: TPU HBM gathers ran at ~15-40 GB/s effective and
+    dominated the whole stage-3 (0.5-1.7 s per batch across three gather
+    designs); the dense form does ~15 GFLOP of VPU/MXU work instead and runs
+    in ~60 ms at 64^2, batch 80.  Out-of-range taps hit empty one-hot rows,
+    which reproduces grid_sample's padding_mode='zeros' exactly.
+
+    The query-pixel axis is processed in lax.map chunks so the per-chunk
+    correlation slab stays ~100 MB.
     """
     B, H, W, C = feat1.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(C, dtype=jnp.float32))
-    grid = pixel_coords_grid(H, W, flow.dtype) + flow
+    P = H * W
     n = 2 * radius + 1
+    grid = pixel_coords_grid(H, W, flow.dtype) + flow
+    f1 = feat1.reshape(B, P, C)
+    dt = feat1.dtype
+
+    chunk = P
+    while chunk > 64 and B * chunk * P > (1 << 25):
+        chunk //= 2
+    n_chunks = P // chunk
+    f1c = f1.reshape(B, n_chunks, chunk, C).swapaxes(0, 1)
 
     outs = []
     pooled = feat2
     for i in range(num_levels):
         if i > 0:
             pooled = avg_pool2d(pooled, 2)
-        centroid = grid / (2.0**i)  # (B, H, W, 2)
-        cl = jnp.floor(centroid)
-        frac = centroid - cl  # (B, H, W, 2) shared across the window
-        base = cl.astype(jnp.int32) - radius  # top-left neighborhood corner
-        d = _neighborhood_dots(feat1, pooled, base, radius)  # (B,H,W,ny,nx)
+        Hp, Wp = pooled.shape[1], pooled.shape[2]
+        pooled_flat = pooled.reshape(B, Hp * Wp, C)
+        scale = jnp.asarray(1.0 / np.sqrt(C), dt)
+        cen = (grid / (2.0 ** i)).reshape(B, n_chunks, chunk, 2).swapaxes(0, 1)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Hp), 2)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Wp), 2)
 
-        fx = frac[..., 0][..., None, None]
-        fy = frac[..., 1][..., None, None]
-        # out[oy, ox] over the (2r+1)^2 window from the 4 shifted slices
-        d00 = d[..., :n, :n]
-        d01 = d[..., :n, 1:]
-        d10 = d[..., 1:, :n]
-        d11 = d[..., 1:, 1:]
-        win = (
-            (1 - fx) * (1 - fy) * d00
-            + fx * (1 - fy) * d01
-            + (1 - fx) * fy * d10
-            + fx * fy * d11
-        )  # (B, H, W, oy, ox)
-        # reference channel order: k = (ox_index)*(2r+1) + (oy_index)
-        # (outer window index walks x — see module docstring)
+        def level_chunk(args, Hp=Hp, Wp=Wp, pooled_flat=pooled_flat,
+                        scale=scale, iota_h=iota_h, iota_w=iota_w):
+            f1k, ck = args  # (B, chunk, C), (B, chunk, 2)
+            corr = jnp.einsum(
+                "bpc,bqc->bpq", f1k, pooled_flat, precision="highest"
+            ).astype(dt) * scale
+            corr = corr.reshape(B * chunk, Hp, Wp)
+
+            ck = ck.reshape(B * chunk, 2)
+            cl = jnp.floor(ck)
+            fr = ck - cl
+            x0 = cl[:, 0].astype(jnp.int32) - radius
+            y0 = cl[:, 1].astype(jnp.int32) - radius
+            off = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+
+            def interp_matrix(base, frac, iota):
+                tap = base[:, None, None] + off
+                return (
+                    (1.0 - frac[:, None, None]) * (iota == tap)
+                    + frac[:, None, None] * (iota == tap + 1)
+                ).astype(dt)
+
+            Ay = interp_matrix(y0, fr[:, 1], iota_h)  # (Pc, n, Hp)
+            Ax = interp_matrix(x0, fr[:, 0], iota_w)  # (Pc, n, Wp)
+            t1 = jnp.einsum("poj,pji->poi", Ay, corr)
+            win = jnp.einsum("poi,pxi->pox", t1, Ax)  # (Pc, oy, ox)
+            return win.reshape(B, chunk, n, n)
+
+        if n_chunks == 1:
+            win = level_chunk((f1c[0], cen[0]))[:, :, None]
+            win = win.reshape(B, P, n, n)
+        else:
+            win = jax.lax.map(level_chunk, (f1c, cen))
+            win = win.swapaxes(0, 1).reshape(B, P, n, n)
+        # reference channel order: k = ox*(2r+1) + oy (outer index walks x)
         win = jnp.swapaxes(win, -1, -2).reshape(B, H, W, n * n)
-        outs.append(win * scale)
+        outs.append(win)
     return jnp.concatenate(outs, axis=-1)

@@ -22,12 +22,20 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--models_dir", required=True, help="dir of obj_XXXXXX.ply")
+    p.add_argument("--models_dir", help="dir of obj_XXXXXX.ply (BOP layout)")
+    p.add_argument("--models_json", default=None,
+                   help="GSO/ShapeNet-style models json: a list of "
+                        "{'obj_id': int, 'cad_path'|'ply_path': str} entries "
+                        "(render_gso_templates.py analogue)")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--level", type=int, default=1, help="icosphere level (0/1/2)")
     p.add_argument("--pose_table", default=None,
                    help="external (N,4,4) obj pose table .npy (for ordering "
                         "compat with reference-rendered banks)")
+    p.add_argument("--start", type=int, default=0,
+                   help="first model index (cluster-sharding like "
+                        "render_shapenet_templates.py)")
+    p.add_argument("--end", type=int, default=-1, help="one-past-last index")
     args = p.parse_args()
 
     import numpy as np
@@ -35,12 +43,28 @@ def main():
     from picopose_tpu.native.renderer import render_object_bank
 
     table = np.load(args.pose_table) if args.pose_table else None
-    cads = sorted(glob.glob(os.path.join(args.models_dir, "obj_*.ply")))
-    if not cads:
-        raise SystemExit(f"no obj_*.ply under {args.models_dir}")
-    for cad in cads:
+    jobs: list[tuple[str, int | None]] = []
+    if args.models_json:
+        import json
+
+        with open(args.models_json) as f:
+            entries = json.load(f)
+        if isinstance(entries, dict):
+            entries = list(entries.values())
+        for e in entries:
+            path = e.get("cad_path") or e.get("ply_path") or e.get("path")
+            jobs.append((path, int(e["obj_id"])))
+    else:
+        if not args.models_dir:
+            raise SystemExit("need --models_dir or --models_json")
+        for cad in sorted(glob.glob(os.path.join(args.models_dir, "obj_*.ply"))):
+            jobs.append((cad, None))
+    if not jobs:
+        raise SystemExit("no models found")
+    end = len(jobs) if args.end < 0 else args.end
+    for cad, obj_id in jobs[args.start : end]:
         t0 = time.perf_counter()
-        poses = render_object_bank(cad, args.out_dir, args.level, table)
+        poses = render_object_bank(cad, args.out_dir, args.level, table, obj_id)
         print(f"{os.path.basename(cad)}: {len(poses)} views "
               f"in {time.perf_counter() - t0:.1f}s")
 
