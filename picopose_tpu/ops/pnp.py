@@ -67,6 +67,24 @@ def _exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(3, dtype=w.dtype) + A * W + B * W2
 
 
+def _inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of (..., 3, 3)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    adj = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+        ],
+        -2,
+    )
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return adj / det[..., None, None]
+
+
 def _normalize_points(pts: jnp.ndarray, w: jnp.ndarray, dim: int):
     """Hartley normalization: zero-centroid, mean norm sqrt(dim)."""
     wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
@@ -127,11 +145,22 @@ def _weighted_dlt(pts3d, uv, w):
     sign = jnp.where(sign == 0, 1.0, sign)
     P = P * sign
     M = P[:, :3]
-    Us, S, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(_EINSUM("ij,jk->ik", Us, Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], X.dtype)).at[2, 2].set(det)
-    R = _EINSUM("ij,jk,kl->il", Us, D, Vt)
-    scale = jnp.maximum(S.mean(), 1e-9)
+    # Orthogonal Procrustes via Newton polar iteration (replaces a 3x3 SVD:
+    # vmapped small-matrix SVD cost ~82 ms per 12k RANSAC hypotheses on TPU,
+    # the iteration ~28 ms).  det(M) > 0 here, so the polar factor is the
+    # nearest rotation; the isotropic DLT scale is then trace(R^T M) / 3
+    # (== mean singular value, since R^T M is the SPD polar stretch).
+    det = jnp.maximum(jnp.linalg.det(M), 1e-20)
+    Xp = M / jnp.cbrt(det)
+
+    def polar_step(_, Xc):
+        # determinant-scaled Newton: quadratic convergence even for the
+        # ill-conditioned matrices degenerate RANSAC samples produce
+        g = 1.0 / jnp.cbrt(jnp.abs(jnp.linalg.det(Xc)) + 1e-20)
+        return 0.5 * (g * Xc + jnp.swapaxes(_inv3(Xc), -1, -2) / g)
+
+    R = jax.lax.fori_loop(0, 7, polar_step, Xp)
+    scale = jnp.maximum(jnp.trace(_EINSUM("ji,jk->ik", R, M)) / 3.0, 1e-9)
     t = P[:, 3] / scale
     ok = jnp.isfinite(R).all() & jnp.isfinite(t).all()
     R = jnp.where(ok, R, jnp.eye(3, dtype=X.dtype))
