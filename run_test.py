@@ -24,7 +24,12 @@ def get_parser():
                    help="one of the BOP-7 datasets, or 'all'")
     p.add_argument("--checkpoint_path", default="none",
                    help="orbax dir or torch .ckpt/.pth (auto-ported); "
-                        "'none' = random init (smoke runs only)")
+                        "'none' = resolve from the log dir via --iter, or "
+                        "random init if no checkpoints exist (smoke runs)")
+    p.add_argument("--iter", type=int, default=-1,
+                   help="checkpoint step to load from "
+                        "log/<model>/version_<id>/checkpoints (reference "
+                        "run_test.py --iter semantics); -1 = latest")
     p.add_argument("--version_id", type=int, default=0)
     p.add_argument("--view", type=int, default=-1,
                    help="override template view count (e.g. 42)")
@@ -61,16 +66,33 @@ def main():
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
-    if args.checkpoint_path != "none":
+    log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
+    ckpt_path = args.checkpoint_path
+    if ckpt_path == "none":
+        # reference behavior: resolve by step under the version's log dir
+        # (run_test.py:240-245)
+        step_dir = os.path.join(log_dir, "checkpoints")
+        if os.path.isdir(step_dir) and os.listdir(step_dir):
+            step = args.iter if args.iter != -1 else max(
+                int(d) for d in os.listdir(step_dir) if d.isdigit()
+            )
+            ckpt_path = os.path.join(step_dir, str(step))
+
+    if ckpt_path != "none":
         depth = VIT_CONFIGS[cfg.model.vit_type].depth
-        variables = load_any(args.checkpoint_path, depth=depth)
+        print(f"loading checkpoint {ckpt_path}")
+        restored = load_any(ckpt_path, depth=depth)
+        # a restored TrainState carries params/batch_stats among optimizer
+        # state; a ported torch ckpt is already a variables dict
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
     else:
         print("WARNING: random init (no checkpoint) — smoke run only")
         imgs = jnp.zeros((1, cfg.test_dataset.img_size, cfg.test_dataset.img_size, 3))
         masks = jnp.ones(imgs.shape[:3])
         variables = model.init(jax.random.PRNGKey(0), imgs, masks, True)
-
-    log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
     datasets = list(BOP7) if args.dataset == "all" else [args.dataset]
     key = jax.random.PRNGKey(0)
     for name in datasets:

@@ -46,7 +46,11 @@ def main():
     )
     log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
     os.makedirs(log_dir, exist_ok=True)
-    print(f"devices: {jax.devices()}")
+
+    from picopose_tpu.parallel.distributed import initialize, process_info
+
+    initialize()  # no-op single-process; sets up multi-host slices
+    print(f"process {process_info()} devices: {jax.devices()}")
     run_training(cfg, model, log_dir, resume=args.resume, max_steps=args.max_steps)
 
 
