@@ -127,14 +127,76 @@ def main(
     )
 
 
+def main_train(batch: int = 8, iters: int = 6, vit: str = "dinov2_vitl14"):
+    """Training-step throughput (BASELINE.json config 4 shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.models import PicoPose
+    from picopose_tpu.train.step import init_state, make_optimizer, train_step
+
+    taps = {"dinov2_vitl14": (5, 11, 17, 23), "dinov2_vits14": (1, 3, 5, 7)}[vit]
+    model = PicoPose(vit_type=vit, blocks_to_take=taps)
+    tx = make_optimizer()
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B, S = batch, 224
+    eye = lambda n: np.broadcast_to(np.eye(n, dtype=np.float32), (B, n, n)).copy()
+    K = eye(3)
+    K[:, 0, 0] = K[:, 1, 1] = 572.0
+    K[:, 0, 2], K[:, 1, 2] = 320.0, 240.0
+    pose = eye(4)
+    pose[:, 2, 3] = 0.5
+    base = {
+        "real_rgb": rng.normal(size=(B, S, S, 3)).astype(np.float32),
+        "tem_rgb": rng.normal(size=(B, S, S, 3)).astype(np.float32),
+        "real_mask": np.ones((B, S, S), np.float32),
+        "tem_mask": np.ones((B, S, S), np.float32),
+        "real_M": eye(3), "tem_M": eye(3),
+        "real_K": K, "tem_K": K.copy(),
+        "real_pose": pose, "tem_pose": pose.copy(),
+        "real_full_depth": np.full((B, 480, 640), 0.5, np.float32),
+        "tem_full_depth": np.full((B, 480, 640), 0.5, np.float32),
+    }
+    jb = {k: jnp.asarray(v) for k, v in base.items()}
+    state, losses = train_step(model, tx, state, jb, jax.random.PRNGKey(0))
+    _ = float(losses["loss"])
+    lat = []
+    for i in range(iters):
+        b = dict(jb)
+        b["real_rgb"] = jb["real_rgb"] + jnp.float32((i + 1) * 1e-6)
+        t0 = time.perf_counter()
+        state, losses = train_step(model, tx, state, b, jax.random.PRNGKey(i))
+        _ = float(losses["loss"])
+        lat.append(time.perf_counter() - t0)
+    p50 = sorted(lat)[len(lat) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_samples_per_sec_per_chip",
+                "value": round(batch / p50, 3),
+                "unit": "samples/s/chip",
+                "vs_baseline": 0.0,
+                "p50_step_ms": round(p50 * 1000, 2),
+                "batch": batch,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["eval", "train"], default="eval")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--views", type=int, default=162)
     p.add_argument("--hyp", type=int, default=5)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--vit", type=str, default="dinov2_vitl14")
     a = p.parse_args()
-    main(a.batch, a.views, a.hyp, a.iters, a.vit)
+    if a.mode == "train":
+        main_train(min(a.batch, 8) if a.batch == 16 else a.batch, a.iters, a.vit)
+    else:
+        main(a.batch, a.views, a.hyp, a.iters, a.vit)
