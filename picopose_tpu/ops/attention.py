@@ -31,6 +31,30 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
 
 
+@jax.custom_vjp
+def _attention_pallas(q, k, v):
+    from picopose_tpu.ops.pallas.flash_attention import flash_attention
+
+    return flash_attention(q, k, v)
+
+
+def _attention_pallas_fwd(q, k, v):
+    return _attention_pallas(q, k, v), (q, k, v)
+
+
+def _attention_pallas_bwd(res, g):
+    # Flash-style rematerialized backward: recompute attention through the
+    # XLA path and differentiate that (the kernel itself has no VJP).  At
+    # 257 tokens the recompute is cheap; the forward stays on the fused
+    # Pallas kernel.
+    q, k, v = res
+    _, vjp = jax.vjp(attention_xla, q, k, v)
+    return vjp(g)
+
+
+_attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("impl",))
 def attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "auto"
@@ -38,13 +62,12 @@ def attention(
     """Dispatching attention over (B, H, N, D).
 
     impl: 'auto' (Pallas on TPU, XLA otherwise), 'xla', or 'pallas'.
+    Differentiable on every path (the Pallas forward carries a custom VJP).
     """
     if impl == "xla":
         return attention_xla(q, k, v)
     if impl == "pallas" or (
         impl == "auto" and jax.devices()[0].platform == "tpu"
     ):
-        from picopose_tpu.ops.pallas.flash_attention import flash_attention
-
-        return flash_attention(q, k, v)
+        return _attention_pallas(q, k, v)
     return attention_xla(q, k, v)
