@@ -120,3 +120,21 @@ class TestPicoPoseInit:
         tr, sc, inp, flows, certs = model.apply(variables, imgs, masks)
         assert tr.shape == (1, 2)
         assert len(flows) == 3
+
+
+class TestSwiGLUVariant:
+    def test_giant_style_ffn_forward(self, rng):
+        """The vit_giant2-style SwiGLU FFN path initializes and runs."""
+        from picopose_tpu.models.dinov2 import ViTConfig, VIT_CONFIGS
+
+        VIT_CONFIGS["_test_swiglu"] = ViTConfig(
+            embed_dim=64, depth=2, num_heads=4, ffn_layer="swiglufused"
+        )
+        fe = FeatureExtractor("_test_swiglu", (0, 1, 0, 1), compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 56, 56, 3)).astype(np.float32))
+        params = fe.init(jax.random.PRNGKey(0), x)
+        feats = fe.apply(params, x)
+        assert feats[0].shape == (1, 4, 4, 64)
+        # w12/w3 parameter names (torch-port compatible)
+        blk = params["params"]["dinov2"]["blocks_0"]["mlp"]
+        assert set(blk) == {"w12", "w3"}
