@@ -96,9 +96,9 @@ def inverse_crop_affine(M: jnp.ndarray) -> jnp.ndarray:
     :103-111).  M_inv[:2,:2] = I/s, M_inv[:2,2] = -t/s.
     """
     scale = M[..., 0, 0]
-    inv_lin = jnp.eye(2, dtype=M.dtype) / scale[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=M.dtype), (*M.shape[:-2], 2, 2))
     inv_t = -M[..., :2, 2] / scale[..., None]
-    return make_affine(rotation=inv_lin * scale[..., None, None], scale=1.0 / scale, translation=inv_t)
+    return make_affine(rotation=eye, scale=1.0 / scale, translation=inv_t)
 
 
 def normalize_affine(M: jnp.ndarray) -> jnp.ndarray:

@@ -135,3 +135,24 @@ class TestConfig:
     def test_repo_base_yaml_loads(self):
         cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "base.yaml"))
         assert cfg.lr_scheduler.max_iters == 400000
+
+
+class TestLogging:
+    def test_loss_meter_window_and_global(self):
+        from picopose_tpu.utils.logging import LossMeter
+
+        m = LossMeter(window=3)
+        for v in (1.0, 2.0, 3.0, 4.0):
+            m.update({"loss": v})
+        assert m.window_avg("loss") == 3.0  # last 3
+        assert m.global_avg("loss") == 2.5
+        assert "loss" in m.line()
+
+    def test_train_logger_writes_file(self, tmp_path):
+        from picopose_tpu.utils.logging import TrainLogger
+
+        lg = TrainLogger(str(tmp_path), every=1, tensorboard=False)
+        lg.step(1, {"loss": 0.5}, lr=1e-4)
+        lg.epoch(0, 1)
+        text = (tmp_path / "training_logger.log").read_text()
+        assert "iter 1" in text and "epoch 0" in text
