@@ -99,7 +99,6 @@ def forward_train(model, params, batch_stats, batch, key):
     # src=template, tar=real; T maps src camera frame -> tar camera frame.
     real_pose, tem_pose = batch["real_pose"], batch["tem_pose"]
     T_tem2real = mmul(real_pose, jnp.linalg.inv(tem_pose))
-    T_real2tem = mmul(tem_pose, jnp.linalg.inv(real_pose))
     kp = sample_keypoints(
         src_mask=batch["tem_mask"], src_M=batch["tem_M"], src_K=batch["tem_K"],
         src_depth=batch["tem_full_depth"],
@@ -107,7 +106,6 @@ def forward_train(model, params, batch_stats, batch, key):
         T_src2tar=T_tem2real,
         crop=batch["tem_mask"].shape[1],
     )
-    del T_real2tem  # reverse-direction validity is already folded into kp
     losses = {}
     mutated = batch_stats
 
