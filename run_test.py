@@ -43,6 +43,12 @@ def main():
     args = get_parser().parse_args()
 
     import jax
+
+    if os.environ.get("PICOPOSE_FORCE_CPU"):
+        # test/debug hook: this environment's sitecustomize force-selects the
+        # TPU platform via jax config, so an env var alone can't override it
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from picopose_tpu.data.bop import BOP7, BOPTestDataset, DETECTION_FILES
@@ -96,7 +102,10 @@ def main():
     datasets = list(BOP7) if args.dataset == "all" else [args.dataset]
     key = jax.random.PRNGKey(0)
     for name in datasets:
-        det = os.path.join(cfg.test_dataset.detection_dir, DETECTION_FILES[name])
+        # BOP-7 names use the CNOS default files (run_test.py:29-37); custom
+        # datasets fall back to <detection_dir>/<name>.json
+        det_file = DETECTION_FILES.get(name, f"{name}.json")
+        det = os.path.join(cfg.test_dataset.detection_dir, det_file)
         ds = BOPTestDataset(
             cfg.test_dataset.data_dir, name, det,
             img_size=cfg.test_dataset.img_size,

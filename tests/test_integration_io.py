@@ -145,6 +145,53 @@ class TestBOPEvalDriver:
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
 
 
+class TestRunTestCLI:
+    def test_cli_end_to_end(self, bop_tree, cube_assets, tmp_path):
+        """run_test.py as a subprocess over the fake tree (random init)."""
+        import shutil
+        import subprocess
+
+        root = tmp_path / "cli"
+        (root / "dets").mkdir(parents=True)
+        shutil.copy(bop_tree["det_path"], root / "dets" / "fakeds.json")
+        tdir = root / "templates" / "fakeds"
+        tdir.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(cube_assets["bank_dir"], tdir)
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        env["PICOPOSE_FORCE_CPU"] = "1"
+        import sys as _sys
+
+        r = subprocess.run(
+            [
+                _sys.executable, "run_test.py",
+                "--dataset", "fakeds",
+                "--batch", "2",
+                "--version_id", "77",
+                "--set",
+                f"test_dataset.data_dir={bop_tree['data_dir']}",
+                f"test_dataset.template_dir={root / 'templates'}",
+                f"test_dataset.detection_dir={root / 'dets'}",
+                "test_dataset.n_template_view=6",
+                "model.vit_type=dinov2_vits14",
+                "model.blocks_to_take=[1,3,5,7]",
+                "model.compute_dtype=float32",
+                "model.hypothesis=2",
+            ],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+            env=env, timeout=1800,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        csv = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "log", "picopose", "version_77", "fakeds_eval",
+            "picopose-stage3-2hyp_fakeds-test.csv",
+        )
+        assert os.path.exists(csv), r.stdout[-2000:]
+        assert len(open(csv).read().strip().split("\n")) == 2
+
+
 @pytest.fixture(scope="module")
 def megapose_tree(tmp_path_factory, cube_assets):
     """MegaPose-GSO webdataset-layout training shards + template bank
