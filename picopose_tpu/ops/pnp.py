@@ -239,20 +239,39 @@ def _ransac_pnp_single(
     g = g + jnp.where(valid, 0.0, -jnp.inf)
     _, sample_idx = jax.lax.top_k(g, sample)  # (iters, sample)
 
-    def solve_one(idx):
+    # A minimal DLT is too noise-sensitive under weak perspective (small
+    # object, long focal): its hypotheses need a few Gauss-Newton steps on
+    # their own sample to become competitive with OpenCV's EPnP minimal
+    # solves.  GN on every hypothesis dominated the stage, so RANSAC runs in
+    # two phases: (1) all `iters` DLT hypotheses scored with a LOOSE (4x)
+    # threshold — inaccurate-but-unbiased ranking; (2) only the top
+    # `polish_k` get the GN polish + strict scoring.  A clean sample always
+    # ranks highly under the loose score, so the survivor set keeps RANSAC's
+    # guarantees at ~1/10 the polish cost.
+    polish_k = min(16, iters)
+
+    def solve_dlt(idx):
         ws = jnp.ones((sample,), jnp.float32)
         R, t, ok = _weighted_dlt(pts3d[idx], uv[idx], ws)
-        # A minimal DLT is too noise-sensitive under weak perspective (small
-        # object, long focal); polish each hypothesis on its own sample with
-        # a few Gauss-Newton steps before scoring — this is what makes
-        # 6-point hypotheses competitive with OpenCV's EPnP minimal solves.
-        R, t = _gauss_newton(pts3d[idx], uv[idx], ws, R, t, hyp_refine_iters)
         err2 = _reproj_err2_px(pts3d, pts2d_px, K, R, t)
-        inl = (err2 < reproj_px**2) & valid
-        score = jnp.where(ok, inl.sum(), -1)
+        loose = (err2 < (4.0 * reproj_px) ** 2) & valid
+        score = jnp.where(ok, loose.sum(), -1)
         return R, t, score
 
-    Rs, ts, scores = jax.vmap(solve_one)(sample_idx)
+    R_d, t_d, loose_scores = jax.vmap(solve_dlt)(sample_idx)
+    _, topk_idx = jax.lax.top_k(loose_scores, polish_k)
+
+    def polish_one(h):
+        idx = sample_idx[h]
+        ws = jnp.ones((sample,), jnp.float32)
+        R, t = _gauss_newton(pts3d[idx], uv[idx], ws, R_d[h], t_d[h],
+                             hyp_refine_iters)
+        err2 = _reproj_err2_px(pts3d, pts2d_px, K, R, t)
+        inl = (err2 < reproj_px**2) & valid
+        score = jnp.where(loose_scores[h] >= 0, inl.sum(), -1)
+        return R, t, score
+
+    Rs, ts, scores = jax.vmap(polish_one)(topk_idx)
     best = jnp.argmax(scores)
     R0, t0, best_score = Rs[best], ts[best], scores[best]
 
