@@ -66,6 +66,7 @@ def run_batch(
     key: jax.Array,
     hyp: int = 5,
     pnp_iters: int = 150,
+    stage3_topk: int | None = None,
 ) -> EvalOutput:
     """Full pipeline for a batch of instance crops of ONE object's bank.
 
@@ -74,8 +75,15 @@ def run_batch(
       real_M (B, 3, 3), real_K (B, 3, 3), real_pts2d (B, 64, 64, 2)
       original-image coords of the 64-grid patch centers
       (provider/bop_test_dataset.py:192-196).
+
+    stage3_topk: optional speed mode — run stage 3 + PnP only for the
+      `stage3_topk` best-MATCHING hypotheses; the rest keep their stage-2
+      poses with inlier_ratio -1 (always ranked after PnP winners).  The
+      default (None == hyp) is the reference-faithful behavior: all `hyp`
+      hypotheses refined and ranked by PnP inliers (run_test.py:168-186).
     """
     B = batch["real_rgb"].shape[0]
+    k3 = hyp if stage3_topk is None else min(stage3_topk, hyp)
 
     # ---- stage 1: query features once; match against the bank
     feats_real = model.apply(
@@ -120,18 +128,35 @@ def run_batch(
 
     # ---- stage 3: flow refinement -> dense correspondences.
     # Template DPT pyramids come from the bank (zero per-query template
-    # convs); the query pyramid is computed once at B and tiled to B*hyp.
+    # convs); the query pyramid is computed once at B and tiled.  In
+    # stage3_topk mode only the k3 best-matching hypotheses (ids are
+    # score-ordered) go through stage 3 + PnP.
+    BH3 = B * k3
+
+    def head(x):  # (BH, ...) -> (B*k3, ...) keeping the first k3 hypotheses
+        if k3 == hyp:
+            return x
+        return x.reshape(B, hyp, *x.shape[1:])[:, :k3].reshape(
+            BH3, *x.shape[1:]
+        )
+
+    ids3 = ids[:, :k3]
     init_flow, init_cert = init_correspondences(
-        pred_Ms, tem_mask, grid=tem_last.shape[1]
+        head(pred_Ms), head(tem_mask), grid=tem_last.shape[1]
     )
     if bank.dpt is not None:
-        tem_pyr = [_take(p, ids) for p in bank.dpt]
+        tem_pyr = [_take(p, ids3) for p in bank.dpt]
     else:
         tem_pyr = model.apply(
-            variables, [_take(f, ids) for f in bank.feats], method=model.dpt
+            variables, [_take(f, ids3) for f in bank.feats], method=model.dpt
         )
     real_pyr = model.apply(variables, feats_real, method=model.dpt)
-    real_pyr = [tile(p) for p in real_pyr]
+
+    def tile3(x):
+        reps = (1, k3) + (1,) * (x.ndim - 1)
+        return jnp.tile(x[:, None], reps).reshape(BH3, *x.shape[1:])
+
+    real_pyr = [tile3(p) for p in real_pyr]
     flows, certs = model.apply(
         variables, tem_pyr, real_pyr, init_flow, init_cert,
         method=model.flow,
@@ -143,29 +168,39 @@ def run_batch(
     G = bank.pts3d.shape[1]
     xi = jnp.clip(tar_pts[..., 0].astype(jnp.int32), 0, G - 1)
     yi = jnp.clip(tar_pts[..., 1].astype(jnp.int32), 0, G - 1)
-    p2_flat = real_pts2d.reshape(BH, G * G, 2)
+    p2_flat = head(real_pts2d).reshape(BH3, G * G, 2)
     pts2d = jnp.take_along_axis(p2_flat, (yi * G + xi)[..., None], axis=1)
 
     # template camera points -> model frame (pose_recovery.py:84)
-    cam_pts = tem_pts3d.reshape(BH, G * G, 3)
-    Rt, tt = tem_pose[:, :3, :3], tem_pose[:, :3, 3]
+    tem_pose3 = head(tem_pose)
+    cam_pts = head(tem_pts3d).reshape(BH3, G * G, 3)
+    Rt, tt = tem_pose3[:, :3, :3], tem_pose3[:, :3, 3]
     model_pts = jnp.einsum(
         "bnj,bji->bni", cam_pts - tt[:, None], Rt, precision="highest"
     )
     valid &= cam_pts[..., 2] > 1e-6  # no template depth -> invalid
 
     pnp = ransac_pnp(
-        model_pts, pts2d, real_K, valid, key, iters=pnp_iters
+        model_pts, pts2d, head(real_K), valid, key, iters=pnp_iters
     )
 
     # ---- stage-2 fallback where PnP failed (run_test.py:177-179)
-    R = jnp.where(pnp.success[:, None, None], pnp.R, poses_2d[:, :3, :3])
-    t = jnp.where(pnp.success[:, None], pnp.t, poses_2d[:, :3, 3])
+    poses_2d3 = head(poses_2d)
+    R3 = jnp.where(pnp.success[:, None, None], pnp.R, poses_2d3[:, :3, :3])
+    t3 = jnp.where(pnp.success[:, None], pnp.t, poses_2d3[:, :3, 3])
 
-    R = R.reshape(B, hyp, 3, 3)
-    t = t.reshape(B, hyp, 3)
-    ratio = pnp.inlier_ratio.reshape(B, hyp)
-    success = pnp.success.reshape(B, hyp)
+    # scatter back to the full hypothesis axis; non-refined hypotheses keep
+    # their stage-2 poses with ratio -1 (rank after every PnP result)
+    p2R = poses_2d.reshape(B, hyp, 4, 4)[..., :3, :3]
+    p2t = poses_2d.reshape(B, hyp, 4, 4)[..., :3, 3]
+    R = p2R.at[:, :k3].set(R3.reshape(B, k3, 3, 3))
+    t = p2t.at[:, :k3].set(t3.reshape(B, k3, 3))
+    ratio = jnp.full((B, hyp), -1.0).at[:, :k3].set(
+        pnp.inlier_ratio.reshape(B, k3)
+    )
+    success = (
+        jnp.zeros((B, hyp), bool).at[:, :k3].set(pnp.success.reshape(B, k3))
+    )
 
     # ---- rank hypotheses by inlier ratio, best first (run_test.py:186)
     order = jnp.argsort(-ratio, axis=1)
@@ -180,9 +215,15 @@ def run_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model", "hyp", "pnp_iters"))
-def run_batch_jit(model, variables, batch, bank, key, hyp=5, pnp_iters=150):
-    return run_batch(model, variables, batch, bank, key, hyp, pnp_iters)
+@functools.partial(
+    jax.jit, static_argnames=("model", "hyp", "pnp_iters", "stage3_topk")
+)
+def run_batch_jit(
+    model, variables, batch, bank, key, hyp=5, pnp_iters=150, stage3_topk=None
+):
+    return run_batch(
+        model, variables, batch, bank, key, hyp, pnp_iters, stage3_topk
+    )
 
 
 def build_bank(

@@ -158,3 +158,45 @@ class TestFullPipeline:
         # rotations are orthonormal even on the fallback path
         RtR = np.einsum("hij,hik->hjk", np.asarray(out.R[0]), np.asarray(out.R[0]))
         np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (3, 3, 3)), atol=1e-3)
+
+
+class TestStage3TopK:
+    def test_topk_speed_mode(self, views, model_and_bank=None):
+        """stage3_topk=1: only the best-matching hypothesis gets PnP; the
+        rest carry stage-2 poses with ratio -1."""
+        import jax
+        import jax.numpy as jnp
+        from picopose_tpu.eval.pipeline import build_bank, run_batch_jit
+        from picopose_tpu.models import PicoPose
+
+        model = PicoPose(**SMALL, compute_dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+            jnp.ones((1, 224, 224)), True,
+        )
+        tviews = [make_view(make_pose(a, 0.5, z=0.45), RADIUS) for a in (0.3, 1.5, 3.0)]
+        bank = build_bank(
+            model, variables,
+            jnp.asarray(np.stack([v.rgb for v in tviews])),
+            jnp.asarray(np.stack([v.mask for v in tviews])),
+            jnp.asarray(np.stack([v.depth_crop_pts for v in tviews])),
+            jnp.asarray(np.stack([v.pose for v in tviews])),
+            jnp.asarray(np.stack([v.K for v in tviews])),
+            jnp.asarray(np.stack([v.M for v in tviews])),
+        )
+        _, qry = views
+        batch = {
+            "real_rgb": jnp.asarray(qry.rgb)[None],
+            "real_mask": jnp.asarray(qry.mask)[None],
+            "real_M": jnp.asarray(qry.M)[None],
+            "real_K": jnp.asarray(qry.K)[None],
+            "real_pts2d": jnp.asarray(query_pts2d(qry.M))[None],
+        }
+        out = run_batch_jit(
+            model, variables, batch, bank, jax.random.PRNGKey(1),
+            hyp=3, pnp_iters=16, stage3_topk=1,
+        )
+        ratios = np.asarray(out.inlier_ratio[0])
+        # ranked best-first: the single PnP hypothesis first, -1 tail after
+        assert (ratios[1:] == -1.0).all()
+        assert np.isfinite(np.asarray(out.R)).all()
