@@ -83,6 +83,8 @@ def run_training(
         betas=tuple(cfg.optimizer.betas),
         eps=cfg.optimizer.eps,
         weight_decay=cfg.optimizer.weight_decay,
+        opt_type=cfg.optimizer.type,
+        schedule_type=cfg.lr_scheduler.type,
     )
     sched = __import__(
         "picopose_tpu.train.step", fromlist=["warmup_cosine_schedule"]

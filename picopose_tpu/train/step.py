@@ -64,6 +64,31 @@ def warmup_cosine_schedule(
     return schedule
 
 
+def poly_schedule(
+    base_lr: float, max_iters: int, power: float = 0.9
+) -> optax.Schedule:
+    """PolyLR (utils/lr_scheduler.py PolyLR; present but unused upstream)."""
+
+    def schedule(i):
+        i = jnp.asarray(i, jnp.float32)
+        return base_lr * (1.0 - jnp.clip(i / max_iters, 0.0, 1.0)) ** power
+
+    return schedule
+
+
+def step_schedule(
+    base_lr: float, step_size: int, gamma: float = 0.1
+) -> optax.Schedule:
+    """StepLR (utils/lr_scheduler.py StepLR; present but unused upstream)."""
+
+    def schedule(i):
+        return base_lr * gamma ** jnp.floor(
+            jnp.asarray(i, jnp.float32) / step_size
+        )
+
+    return schedule
+
+
 def make_optimizer(
     base_lr: float = 1e-5,
     max_iters: int = 400_000,
@@ -72,16 +97,29 @@ def make_optimizer(
     betas: tuple[float, float] = (0.5, 0.999),
     eps: float = 1e-6,
     weight_decay: float = 5e-4,
+    opt_type: str = "AdamW",
+    schedule_type: str = "WarmupCosineLR",
 ) -> optax.GradientTransformation:
-    return optax.adamw(
-        learning_rate=warmup_cosine_schedule(
-            base_lr, max_iters, warmup_iters, warmup_factor
-        ),
-        b1=betas[0],
-        b2=betas[1],
-        eps=eps,
-        weight_decay=weight_decay,
-    )
+    """Optimizer factory covering the reference's choices
+    (run_train.py:78-83: AdamW / Adam / SGD; config/base.yaml:9-20)."""
+    if schedule_type == "WarmupCosineLR":
+        lr = warmup_cosine_schedule(base_lr, max_iters, warmup_iters, warmup_factor)
+    elif schedule_type == "PolyLR":
+        lr = poly_schedule(base_lr, max_iters)
+    elif schedule_type == "StepLR":
+        lr = step_schedule(base_lr, max_iters // 3)
+    else:
+        raise ValueError(f"unknown lr_scheduler type {schedule_type}")
+
+    if opt_type == "AdamW":
+        return optax.adamw(
+            lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
+        )
+    if opt_type == "Adam":
+        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    if opt_type == "SGD":
+        return optax.sgd(lr, momentum=betas[0])
+    raise ValueError(f"unknown optimizer type {opt_type}")
 
 
 def forward_train(model, params, batch_stats, batch, key):

@@ -102,3 +102,33 @@ class TestTrainStep:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSchedulesAndOptimizers:
+    def test_warmup_cosine_values(self):
+        from picopose_tpu.train.step import warmup_cosine_schedule
+
+        s = warmup_cosine_schedule(1.0, max_iters=1000, warmup_iters=100,
+                                   warmup_factor=0.001)
+        # reference formula: wf(i) * 0.5 * (1 + cos(pi i / max))
+        assert abs(float(s(0)) - 0.001) < 1e-6
+        assert abs(float(s(100)) - 0.5 * (1 + np.cos(np.pi * 0.1))) < 1e-5
+        assert float(s(1000)) < 1e-6
+
+    def test_poly_and_step(self):
+        from picopose_tpu.train.step import poly_schedule, step_schedule
+
+        p = poly_schedule(1.0, 100)
+        assert float(p(0)) == 1.0 and float(p(100)) == 0.0
+        st = step_schedule(1.0, 10, gamma=0.1)
+        assert abs(float(st(25)) - 0.01) < 1e-9
+
+    @pytest.mark.parametrize("opt", ["AdamW", "Adam", "SGD"])
+    def test_optimizer_types(self, opt):
+        from picopose_tpu.train.step import make_optimizer
+
+        tx = make_optimizer(opt_type=opt, max_iters=10)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        upd, _ = tx.update({"w": jnp.ones(3)}, state, params)
+        assert jax.tree.leaves(upd)[0].shape == (3,)
