@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import random as pyrandom
-from dataclasses import dataclass
 
 import numpy as np
 

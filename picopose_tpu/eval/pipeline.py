@@ -13,7 +13,7 @@ The hypothesis axis is folded into the batch axis for the neural stages.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Compute dtype: bf16 by default (MXU-native); params live in fp32.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import flax.linen as nn

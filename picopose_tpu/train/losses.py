@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from picopose_tpu.geom.grids import pixel_coords_grid
 from picopose_tpu.geom.rotation import cos_sin
 from picopose_tpu.ops.matching import l2_normalize
-from picopose_tpu.ops.resize import resize_nearest
 
 
 def info_nce_loss(

@@ -33,7 +33,6 @@ def main():
     from picopose_tpu.models import PicoPose
     from picopose_tpu.train.loop import run_training
     from picopose_tpu.utils.config import load_config
-    from picopose_tpu.utils.torch_port import port_dinov2  # noqa: F401 (doc pointer)
 
     cfg = load_config(args.config, args.set)
     model = PicoPose(
