@@ -16,7 +16,10 @@ from collections import defaultdict, deque
 
 def get_logger(log_dir: str, name: str = "picopose_tpu") -> logging.Logger:
     os.makedirs(log_dir, exist_ok=True)
-    logger = logging.getLogger(name)
+    # one logger per log dir — a process may train several versions (and the
+    # test suite certainly does); a dir-less cache would keep writing the
+    # first run's file
+    logger = logging.getLogger(f"{name}.{abs(hash(os.path.abspath(log_dir)))}")
     if logger.handlers:
         return logger
     logger.setLevel(logging.INFO)
