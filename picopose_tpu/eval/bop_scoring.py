@@ -1,0 +1,195 @@
+"""In-repo BOP19-style pose scoring: MSSD / MSPD average recall.
+
+The reference (like most BOP submissions) scores its CSVs with the external
+bop_toolkit via subprocess (rendering/src/megapose/evaluation/bop.py:139-175)
+and ships no scorer of its own.  This module implements the two
+surface/projection metrics of the BOP19 protocol natively so accuracy can be
+validated in-repo (the third metric, VSD, needs per-image scene depth and
+is intentionally left to bop_toolkit for official numbers):
+
+  * MSSD: max symmetry-aware surface distance
+      e = min_{S in syms} max_x || (R̂ x̂_S + t̂) - (R x_S + t) ||,
+    recall averaged over thresholds {0.05 .. 0.5} * object diameter;
+  * MSPD: max symmetry-aware projection distance in pixels,
+    recall averaged over thresholds {5 .. 50} * r, r = im_width / 640;
+  * matching follows the BOP19 protocol: per (scene, image, object), the
+    top-`inst_count` estimates by score are greedily matched 1:1 to GT
+    instances (highest-score estimate first, best remaining GT by error).
+
+AR_{MSSD,MSPD} = mean recall over their threshold grids; the headline
+bop19 AR additionally averages AR_VSD (not computed here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MSSD_THRESHOLDS = np.arange(0.05, 0.51, 0.05)   # x diameter
+MSPD_THRESHOLDS = np.arange(5.0, 51.0, 5.0)     # x r px, r = width/640
+
+
+def identity_syms() -> np.ndarray:
+    return np.eye(4)[None]
+
+
+def discrete_syms(transforms: list[dict]) -> np.ndarray:
+    """BOP models_info 'symmetries_discrete' entries -> (S, 4, 4) incl. I."""
+    out = [np.eye(4)]
+    for t in transforms:
+        out.append(np.asarray(t).reshape(4, 4) if not isinstance(t, dict)
+                   else np.asarray(t["matrix"]).reshape(4, 4)
+                   if "matrix" in t else np.eye(4))
+    return np.stack(out)
+
+
+def continuous_syms(axis: np.ndarray, n: int = 36) -> np.ndarray:
+    """Discretized continuous symmetry around `axis` (bop_toolkit uses the
+    same discretization for MSSD/MSPD)."""
+    from scipy.spatial.transform import Rotation
+
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    out = []
+    for ang in np.linspace(0, 2 * np.pi, n, endpoint=False):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_rotvec(axis * ang).as_matrix()
+        out.append(T)
+    return np.stack(out)
+
+
+def mssd(R_est, t_est, R_gt, t_gt, pts: np.ndarray, syms: np.ndarray) -> float:
+    """Max symmetry-aware surface distance (units of pts/t)."""
+    p_est = pts @ R_est.T + t_est
+    best = np.inf
+    for S in syms:
+        pts_s = pts @ S[:3, :3].T + S[:3, 3]
+        p_gt = pts_s @ R_gt.T + t_gt
+        d = np.linalg.norm(p_est - p_gt, axis=-1).max()
+        best = min(best, d)
+    return float(best)
+
+
+def mspd(R_est, t_est, R_gt, t_gt, K, pts: np.ndarray, syms: np.ndarray) -> float:
+    """Max symmetry-aware projection distance (px)."""
+
+    def proj(R, t, p):
+        q = p @ R.T + t
+        q = q @ K.T
+        return q[:, :2] / q[:, 2:3]
+
+    u_est = proj(R_est, t_est, pts)
+    best = np.inf
+    for S in syms:
+        pts_s = pts @ S[:3, :3].T + S[:3, 3]
+        u_gt = proj(R_gt, t_gt, pts_s)
+        d = np.linalg.norm(u_est - u_gt, axis=-1).max()
+        best = min(best, d)
+    return float(best)
+
+
+@dataclass
+class Estimate:
+    scene_id: int
+    im_id: int
+    obj_id: int
+    score: float
+    R: np.ndarray
+    t: np.ndarray  # same units as GT (mm for BOP)
+
+
+@dataclass
+class GTInstance:
+    scene_id: int
+    im_id: int
+    obj_id: int
+    R: np.ndarray
+    t: np.ndarray
+    visib_fract: float = 1.0
+
+
+@dataclass
+class ObjectModel:
+    pts: np.ndarray           # (N, 3) sampled surface points (mm)
+    diameter: float           # mm
+    syms: np.ndarray = field(default_factory=identity_syms)
+
+
+def read_csv(path: str) -> list[Estimate]:
+    """Parse a bop19 CSV (the format run_test.py emits)."""
+    out = []
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("scene_id"):
+            continue
+        f = line.split(",")
+        out.append(
+            Estimate(
+                scene_id=int(f[0]), im_id=int(f[1]), obj_id=int(f[2]),
+                score=float(f[3]),
+                R=np.array(f[4].split(), np.float64).reshape(3, 3),
+                t=np.array(f[5].split(), np.float64),
+            )
+        )
+    return out
+
+
+def score_bop19(
+    estimates: list[Estimate],
+    gts: list[GTInstance],
+    models: dict[int, ObjectModel],
+    K_by_image: dict[tuple[int, int], np.ndarray],
+    im_width: int = 640,
+    visib_gt_min: float = 0.1,
+) -> dict[str, float]:
+    """Greedy-match estimates to GT and compute AR_MSSD / AR_MSPD."""
+    from collections import defaultdict
+
+    gt_by_key: dict[tuple, list[GTInstance]] = defaultdict(list)
+    for g in gts:
+        gt_by_key[(g.scene_id, g.im_id, g.obj_id)].append(g)
+    est_by_key: dict[tuple, list[Estimate]] = defaultdict(list)
+    for e in estimates:
+        est_by_key[(e.scene_id, e.im_id, e.obj_id)].append(e)
+
+    r = im_width / 640.0
+    mssd_hits = np.zeros(len(MSSD_THRESHOLDS))
+    mspd_hits = np.zeros(len(MSPD_THRESHOLDS))
+    n_gt_scored = 0
+
+    for key, gt_list in gt_by_key.items():
+        gt_list = [g for g in gt_list if g.visib_fract >= visib_gt_min]
+        if not gt_list:
+            continue
+        model = models[key[2]]
+        K = K_by_image[(key[0], key[1])]
+        ests = sorted(est_by_key.get(key, []), key=lambda e: -e.score)
+        ests = ests[: len(gt_list)]
+
+        taken = [False] * len(gt_list)
+        for e in ests:
+            # greedy: best remaining GT by MSSD
+            errs = [
+                (mssd(e.R, e.t, g.R, g.t, model.pts, model.syms), gi)
+                for gi, g in enumerate(gt_list) if not taken[gi]
+            ]
+            if not errs:
+                break
+            err_s, gi = min(errs)
+            taken[gi] = True
+            g = gt_list[gi]
+            err_p = mspd(e.R, e.t, g.R, g.t, K, model.pts, model.syms)
+            mssd_hits += err_s < MSSD_THRESHOLDS * model.diameter
+            mspd_hits += err_p < MSPD_THRESHOLDS * r
+        n_gt_scored += len(gt_list)
+
+    n = max(n_gt_scored, 1)
+    ar_mssd = float((mssd_hits / n).mean())
+    ar_mspd = float((mspd_hits / n).mean())
+    return {
+        "AR_MSSD": ar_mssd,
+        "AR_MSPD": ar_mspd,
+        "AR_mssd_mspd": (ar_mssd + ar_mspd) / 2.0,
+        "n_gt": n_gt_scored,
+    }

@@ -1,0 +1,100 @@
+"""Score a bop19 CSV against BOP ground truth (MSSD/MSPD AR, in-repo).
+
+Self-serve accuracy loop for datasets whose GT is public (lmo, ycbv, ...);
+official numbers still come from bop_toolkit (which adds VSD).
+
+Usage:
+    python score_csv.py --csv preds.csv --data_dir data/BOP --dataset lmo \
+        [--targets test_targets_bop19.json] [--n_model_pts 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", required=True)
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--n_model_pts", type=int, default=500)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from picopose_tpu.eval.bop_scoring import (
+        GTInstance, ObjectModel, continuous_syms, discrete_syms, read_csv,
+        score_bop19,
+    )
+    from picopose_tpu.native.renderer import load_ply
+
+    root = os.path.join(args.data_dir, args.dataset)
+    model_dir = os.path.join(
+        root, "models_cad" if args.dataset == "tless" else "models"
+    )
+    with open(os.path.join(model_dir, "models_info.json")) as f:
+        models_info = {int(k): v for k, v in json.load(f).items()}
+
+    rng = np.random.default_rng(0)
+    models: dict[int, ObjectModel] = {}
+    for obj_id, info in models_info.items():
+        verts, _, _ = load_ply(os.path.join(model_dir, f"obj_{obj_id:06d}.ply"))
+        if len(verts) > args.n_model_pts:
+            verts = verts[rng.choice(len(verts), args.n_model_pts, replace=False)]
+        syms = [np.eye(4)]
+        for s in info.get("symmetries_discrete", []):
+            syms.append(np.asarray(s, np.float64).reshape(4, 4))
+        sym_arr = np.stack(syms)
+        for s in info.get("symmetries_continuous", []):
+            sym_arr = np.concatenate(
+                [sym_arr, continuous_syms(s.get("axis", [0, 0, 1]))], axis=0
+            )
+        models[obj_id] = ObjectModel(
+            pts=verts.astype(np.float64), diameter=float(info["diameter"]),
+            syms=sym_arr,
+        )
+
+    estimates = read_csv(args.csv)
+    needed = {(e.scene_id, e.im_id) for e in estimates}
+
+    gts: list[GTInstance] = []
+    K_by_image: dict[tuple[int, int], np.ndarray] = {}
+    test_dir = os.path.join(root, "test")
+    for scene in sorted({s for s, _ in needed}):
+        sdir = os.path.join(test_dir, f"{scene:06d}")
+        with open(os.path.join(sdir, "scene_gt.json")) as f:
+            scene_gt = json.load(f)
+        with open(os.path.join(sdir, "scene_camera.json")) as f:
+            cams = json.load(f)
+        gt_info = {}
+        info_path = os.path.join(sdir, "scene_gt_info.json")
+        if os.path.exists(info_path):
+            with open(info_path) as f:
+                gt_info = json.load(f)
+        for im_s, entries in scene_gt.items():
+            im = int(im_s)
+            if (scene, im) not in needed:
+                continue
+            K_by_image[(scene, im)] = np.asarray(
+                cams[im_s]["cam_K"], np.float64
+            ).reshape(3, 3)
+            infos = gt_info.get(im_s, [{}] * len(entries))
+            for g, gi in zip(entries, infos):
+                gts.append(
+                    GTInstance(
+                        scene_id=scene, im_id=im, obj_id=int(g["obj_id"]),
+                        R=np.asarray(g["cam_R_m2c"], np.float64).reshape(3, 3),
+                        t=np.asarray(g["cam_t_m2c"], np.float64).reshape(3),
+                        visib_fract=float(gi.get("visib_fract", 1.0)),
+                    )
+                )
+
+    result = score_bop19(estimates, gts, models, K_by_image)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""BOP19 MSSD/MSPD scoring tests on synthetic ground truth."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from picopose_tpu.eval.bop_scoring import (
+    Estimate,
+    GTInstance,
+    ObjectModel,
+    continuous_syms,
+    mspd,
+    mssd,
+    read_csv,
+    score_bop19,
+)
+
+K = np.array([[572.4114, 0, 320.0], [0, 573.57043, 240.0], [0, 0, 1.0]])
+
+
+def make_model(rng, n=200, scale=40.0):
+    pts = rng.uniform(-scale, scale, size=(n, 3))
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1).max()
+    return ObjectModel(pts=pts, diameter=float(d))
+
+
+class TestMetrics:
+    def test_mssd_zero_at_gt(self, rng):
+        m = make_model(rng)
+        R = Rotation.random(random_state=0).as_matrix()
+        t = np.array([10.0, 5.0, 500.0])
+        assert mssd(R, t, R, t, m.pts, m.syms) < 1e-9
+        assert mspd(R, t, R, t, K, m.pts, m.syms) < 1e-9
+
+    def test_mssd_translation_offset(self, rng):
+        m = make_model(rng)
+        R = np.eye(3)
+        t = np.array([0.0, 0.0, 500.0])
+        e = mssd(R, t + [3.0, 0, 0], R, t, m.pts, m.syms)
+        assert np.isclose(e, 3.0, atol=1e-9)
+
+    def test_symmetry_aware(self, rng):
+        """A z-symmetric ring: rotated estimate has ~0 MSSD with continuous
+        z symmetry, large without."""
+        theta = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+        pts = np.stack(
+            [30 * np.cos(theta), 30 * np.sin(theta), np.zeros_like(theta)], -1
+        )
+        t = np.array([0.0, 0.0, 500.0])
+        Rz = Rotation.from_euler("z", 40, degrees=True).as_matrix()
+        m_nosym = ObjectModel(pts=pts, diameter=60.0)
+        m_sym = ObjectModel(pts=pts, diameter=60.0, syms=continuous_syms([0, 0, 1], 72))
+        assert mssd(Rz, t, np.eye(3), t, m_nosym.pts, m_nosym.syms) > 10.0
+        assert mssd(Rz, t, np.eye(3), t, m_sym.pts, m_sym.syms) < 1e-6
+
+
+class TestScoring:
+    def test_perfect_estimates_get_full_ar(self, rng):
+        m = make_model(rng)
+        gts, ests = [], []
+        for i in range(4):
+            R = Rotation.random(random_state=i).as_matrix()
+            t = np.array([0.0, 0.0, 500.0 + 10 * i])
+            gts.append(GTInstance(1, i, 7, R, t))
+            ests.append(Estimate(1, i, 7, 0.9, R, t))
+        Ks = {(1, i): K for i in range(4)}
+        s = score_bop19(ests, gts, {7: m}, Ks)
+        assert s["AR_MSSD"] == 1.0 and s["AR_MSPD"] == 1.0
+        assert s["n_gt"] == 4
+
+    def test_bad_estimates_get_zero(self, rng):
+        m = make_model(rng)
+        R = np.eye(3)
+        t = np.array([0.0, 0.0, 500.0])
+        gts = [GTInstance(1, 0, 7, R, t)]
+        bad_R = Rotation.from_euler("x", 170, degrees=True).as_matrix()
+        ests = [Estimate(1, 0, 7, 0.9, bad_R, t + [200, 0, 0])]
+        s = score_bop19(ests, gts, {7: m}, {(1, 0): K})
+        assert s["AR_MSSD"] == 0.0
+
+    def test_partial_recall_with_missing_detection(self, rng):
+        m = make_model(rng)
+        R = np.eye(3)
+        t = np.array([0.0, 0.0, 500.0])
+        gts = [GTInstance(1, 0, 7, R, t), GTInstance(1, 1, 7, R, t)]
+        ests = [Estimate(1, 0, 7, 0.9, R, t)]  # image 1 missed
+        s = score_bop19(ests, gts, {7: m}, {(1, 0): K, (1, 1): K})
+        assert np.isclose(s["AR_MSSD"], 0.5)
+
+    def test_csv_roundtrip(self, tmp_path, rng):
+        from picopose_tpu.eval.bop_csv import format_row
+
+        R = Rotation.random(random_state=5).as_matrix()
+        t_m = np.array([0.01, 0.02, 0.5])  # meters in CSV writer
+        row = format_row(3, 14, 7, 0.8, R, t_m, 0.1)
+        p = tmp_path / "x.csv"
+        p.write_text(row)
+        ests = read_csv(str(p))
+        assert len(ests) == 1
+        np.testing.assert_allclose(ests[0].R, R, atol=1e-6)
+        np.testing.assert_allclose(ests[0].t, t_m * 1000.0, atol=1e-4)  # mm
+        assert (ests[0].scene_id, ests[0].im_id, ests[0].obj_id) == (3, 14, 7)
