@@ -28,6 +28,8 @@ import numpy as np
 
 MSSD_THRESHOLDS = np.arange(0.05, 0.51, 0.05)   # x diameter
 MSPD_THRESHOLDS = np.arange(5.0, 51.0, 5.0)     # x r px, r = width/640
+VSD_TAUS = np.arange(0.05, 0.51, 0.05)          # x diameter
+VSD_THETAS = np.arange(0.05, 0.51, 0.05)        # error thresholds
 
 
 def identity_syms() -> np.ndarray:
@@ -89,6 +91,45 @@ def mspd(R_est, t_est, R_gt, t_gt, K, pts: np.ndarray, syms: np.ndarray) -> floa
     return float(best)
 
 
+def vsd(
+    d_est: np.ndarray,
+    d_gt: np.ndarray,
+    d_scene: np.ndarray | None,
+    taus: np.ndarray,
+    delta: float = 15.0,
+) -> np.ndarray:
+    """Visible surface discrepancy errors, one per tau (bop_toolkit
+    pose_error.vsd semantics with normalized_by_diameter handled by the
+    caller's tau values).
+
+    d_est / d_gt: rendered object depth maps (0 = background), same units as
+    d_scene (mm for BOP).  d_scene may be None (no occluders: everything
+    rendered is visible).  delta: visibility tolerance (bop default 15 mm).
+    """
+    p_est = d_est > 0
+    p_gt = d_gt > 0
+    if d_scene is None:
+        v_est, v_gt = p_est, p_gt
+    else:
+        seen = d_scene > 0
+        v_gt = p_gt & (~seen | (d_gt <= d_scene + delta))
+        v_est = p_est & (~seen | (d_est <= d_scene + delta))
+        # bop19 amendment: the estimate is "visible" wherever the GT is
+        # visible and the estimate renders at all
+        v_est = v_est | (v_gt & p_est)
+    union = v_est | v_gt
+    n = union.sum()
+    if n == 0:
+        return np.ones_like(np.asarray(taus, np.float64))
+    both = v_est & v_gt
+    dist = np.abs(d_est - d_gt)
+    errs = []
+    for tau in np.asarray(taus, np.float64):
+        ok = both & (dist < tau)
+        errs.append(1.0 - ok.sum() / n)
+    return np.asarray(errs)
+
+
 @dataclass
 class Estimate:
     scene_id: int
@@ -142,8 +183,17 @@ def score_bop19(
     K_by_image: dict[tuple[int, int], np.ndarray],
     im_width: int = 640,
     visib_gt_min: float = 0.1,
+    render_depth=None,
+    scene_depth_by_image: dict[tuple[int, int], np.ndarray] | None = None,
+    vsd_delta: float = 15.0,
 ) -> dict[str, float]:
-    """Greedy-match estimates to GT and compute AR_MSSD / AR_MSPD."""
+    """Greedy-match estimates to GT and compute AR_MSSD / AR_MSPD (+ AR_VSD
+    and the full bop19 AR when a depth renderer is provided).
+
+    render_depth: optional callable (obj_id, R, t, K) -> (H, W) depth map in
+    the GT units (mm) — e.g. a closure over
+    picopose_tpu.native.renderer.render_views.
+    """
     from collections import defaultdict
 
     gt_by_key: dict[tuple, list[GTInstance]] = defaultdict(list)
@@ -156,6 +206,7 @@ def score_bop19(
     r = im_width / 640.0
     mssd_hits = np.zeros(len(MSSD_THRESHOLDS))
     mspd_hits = np.zeros(len(MSPD_THRESHOLDS))
+    vsd_hits = np.zeros((len(VSD_TAUS), len(VSD_THETAS)))
     n_gt_scored = 0
 
     for key, gt_list in gt_by_key.items():
@@ -182,14 +233,31 @@ def score_bop19(
             err_p = mspd(e.R, e.t, g.R, g.t, K, model.pts, model.syms)
             mssd_hits += err_s < MSSD_THRESHOLDS * model.diameter
             mspd_hits += err_p < MSPD_THRESHOLDS * r
+            if render_depth is not None:
+                d_est = render_depth(key[2], e.R, e.t, K)
+                d_gt = render_depth(key[2], g.R, g.t, K)
+                d_scene = (
+                    scene_depth_by_image.get((key[0], key[1]))
+                    if scene_depth_by_image
+                    else None
+                )
+                ev = vsd(
+                    d_est, d_gt, d_scene, VSD_TAUS * model.diameter, vsd_delta
+                )
+                vsd_hits += ev[:, None] < VSD_THETAS[None, :]
         n_gt_scored += len(gt_list)
 
     n = max(n_gt_scored, 1)
     ar_mssd = float((mssd_hits / n).mean())
     ar_mspd = float((mspd_hits / n).mean())
-    return {
+    out = {
         "AR_MSSD": ar_mssd,
         "AR_MSPD": ar_mspd,
         "AR_mssd_mspd": (ar_mssd + ar_mspd) / 2.0,
         "n_gt": n_gt_scored,
     }
+    if render_depth is not None:
+        ar_vsd = float((vsd_hits / n).mean())
+        out["AR_VSD"] = ar_vsd
+        out["AR_bop19"] = (ar_mssd + ar_mspd + ar_vsd) / 3.0
+    return out

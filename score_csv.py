@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--n_model_pts", type=int, default=500)
+    ap.add_argument("--vsd", action="store_true",
+                    help="also compute AR_VSD (renders depth with the native "
+                         "rasterizer and reads the scenes' depth images) -> "
+                         "full AR_bop19")
     args = ap.parse_args()
 
     import numpy as np
@@ -92,7 +96,45 @@ def main():
                     )
                 )
 
-    result = score_bop19(estimates, gts, models, K_by_image)
+    render_depth = None
+    scene_depth = None
+    if args.vsd:
+        import imageio.v2 as imageio
+
+        from picopose_tpu.native.renderer import render_views
+
+        meshes = {}
+        for obj_id in models_info:
+            meshes[obj_id] = load_ply(
+                os.path.join(model_dir, f"obj_{obj_id:06d}.ply")
+            )
+
+        def render_depth(obj_id, R, t, Kk):
+            verts, colors, faces = meshes[obj_id]
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3], pose[:3, 3] = R, t
+            _, depth = render_views(
+                verts, colors, faces, pose[None], Kk.astype(np.float32),
+                (480, 640),
+            )
+            return depth[0].astype(np.float64)
+
+        scene_depth = {}
+        for scene, im in needed:
+            p = os.path.join(test_dir, f"{scene:06d}", "depth", f"{im:06d}.png")
+            if os.path.exists(p):
+                with open(os.path.join(
+                    test_dir, f"{scene:06d}", "scene_camera.json"
+                )) as f:
+                    ds = json.load(f)[str(im)].get("depth_scale", 1.0)
+                scene_depth[(scene, im)] = (
+                    np.asarray(imageio.imread(p), np.float64) * ds
+                )
+
+    result = score_bop19(
+        estimates, gts, models, K_by_image,
+        render_depth=render_depth, scene_depth_by_image=scene_depth,
+    )
     print(json.dumps(result, indent=2))
 
 

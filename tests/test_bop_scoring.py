@@ -100,3 +100,65 @@ class TestScoring:
         np.testing.assert_allclose(ests[0].R, R, atol=1e-6)
         np.testing.assert_allclose(ests[0].t, t_m * 1000.0, atol=1e-4)  # mm
         assert (ests[0].scene_id, ests[0].im_id, ests[0].obj_id) == (3, 14, 7)
+
+
+class TestVSD:
+    def test_vsd_zero_at_gt(self, rng):
+        from picopose_tpu.eval.bop_scoring import vsd
+
+        d = rng.uniform(400, 500, size=(48, 64))
+        d[:10] = 0  # background
+        errs = vsd(d, d, None, taus=np.array([10.0, 50.0]))
+        np.testing.assert_allclose(errs, 0.0)
+
+    def test_vsd_disjoint_is_one(self, rng):
+        from picopose_tpu.eval.bop_scoring import vsd
+
+        a = np.zeros((40, 40)); a[:20] = 450.0
+        b = np.zeros((40, 40)); b[20:] = 450.0
+        errs = vsd(a, b, None, taus=np.array([100.0]))
+        np.testing.assert_allclose(errs, 1.0)
+
+    def test_vsd_occlusion_masks(self):
+        from picopose_tpu.eval.bop_scoring import vsd
+
+        # object at 500mm, occluder at 300mm over the left half of BOTH
+        d_obj = np.full((10, 10), 500.0)
+        d_scene = np.full((10, 10), 500.0)
+        d_scene[:, :5] = 300.0  # occluded: object invisible there
+        errs = vsd(d_obj, d_obj, d_scene, taus=np.array([5.0]), delta=15.0)
+        np.testing.assert_allclose(errs, 0.0)  # visible parts agree
+
+    @pytest.mark.skipif(
+        __import__("picopose_tpu.native", fromlist=["available"]).available()
+        is False,
+        reason="native rasterizer not built",
+    )
+    def test_full_bop19_with_rendered_vsd(self, rng, tmp_path):
+        """End-to-end: perfect estimates score AR_bop19 == 1 with depth
+        rendered by the native rasterizer."""
+        from picopose_tpu.eval.bop_scoring import score_bop19
+        from picopose_tpu.native.renderer import load_ply, render_views
+        from tests.test_native import make_cube_ply
+
+        cad = str(tmp_path / "c.ply")
+        make_cube_ply(cad, size=60.0)
+        verts, colors, faces = load_ply(cad)
+
+        def render_depth(obj_id, R, t, Kk):
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3], pose[:3, 3] = R, t
+            _, depth = render_views(verts, colors, faces, pose[None],
+                                    Kk.astype(np.float32), (480, 640))
+            return depth[0].astype(np.float64)
+
+        d = np.linalg.norm(verts[:, None] - verts[None], axis=-1).max()
+        m = ObjectModel(pts=verts.astype(np.float64), diameter=float(d))
+        R = Rotation.random(random_state=2).as_matrix()
+        t = np.array([5.0, -3.0, 450.0])
+        gts = [GTInstance(1, 0, 7, R, t)]
+        ests = [Estimate(1, 0, 7, 0.9, R, t)]
+        s = score_bop19(
+            ests, gts, {7: m}, {(1, 0): K}, render_depth=render_depth
+        )
+        assert s["AR_VSD"] == 1.0 and s["AR_bop19"] == 1.0
