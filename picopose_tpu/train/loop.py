@@ -38,6 +38,10 @@ def prefetch_batches(
     """Threaded batch producer with a bounded queue."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
+    # retry indices come from the dataset's own rng when available so the
+    # whole epoch stream is reproducible (reference keeps retries inside the
+    # seeded Dataset too, training_dataset.py:126-135)
+    rng = getattr(dataset, "rng", None) or np.random.default_rng(0)
 
     def produce():
         with cf.ThreadPoolExecutor(workers) as pool:
@@ -50,7 +54,7 @@ def prefetch_batches(
                 samples = [f.result() for f in futs]
                 samples = [s for s in samples if s is not None]
                 while len(samples) < batch_size:  # extremely rare
-                    s = dataset.get(int(np.random.randint(1 << 30)))
+                    s = dataset.get(int(rng.integers(1 << 30)))
                     if s is not None:
                         samples.append(s)
                 q.put(collate(samples))
@@ -138,11 +142,9 @@ def run_training(
                 )
                 state, losses = train_step(model, tx, state, sharded, sub)
                 step += 1
-                logger.step(
-                    step,
-                    {k: float(v) for k, v in losses.items()},
-                    float(sched(step)),
-                )
+                # deferred logging: no host sync until the print boundary
+                # (reference cadence: utils/logging.py:149-155)
+                logger.step_async(step, losses, float(sched(step)))
                 if step >= total:
                     break
             logger.epoch(epoch, step)

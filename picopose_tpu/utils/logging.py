@@ -71,6 +71,7 @@ class TrainLogger:
         self.meter = LossMeter(window=every)
         self.every = every
         self.t0 = time.time()
+        self._pending: list = []
         self.tb = None
         if tensorboard:
             try:
@@ -80,20 +81,47 @@ class TrainLogger:
             except Exception:
                 self.tb = None
 
+    def step_async(self, step: int, device_scalars: dict, lr: float) -> None:
+        """Record a step WITHOUT synchronizing on the device values.
+
+        The reference only materializes the loss log every `iters_to_print`
+        iterations (utils/logging.py:149-155); calling float() on a jax
+        scalar every step would block dispatch and serialize the loop.
+        Device scalars are buffered and fetched in one device_get at each
+        print boundary.
+        """
+        self._pending.append(device_scalars)
+        if step % self.every == 0:
+            import jax
+
+            for scalars in jax.device_get(self._pending):
+                self.meter.update(scalars)
+            self._pending.clear()
+            self._emit(step, lr)
+
     def step(self, step: int, scalars: dict[str, float], lr: float) -> None:
         self.meter.update(scalars)
         if step % self.every == 0:
-            rate = self.every / max(time.time() - self.t0, 1e-9)
-            self.t0 = time.time()
-            self.logger.info(
-                f"iter {step} | lr {lr:.3e} | {rate:.2f} it/s | {self.meter.line()}"
-            )
-            if self.tb:
-                for k in self.meter.buffers:
-                    self.tb.add_scalar(k, self.meter.window_avg(k), step)
-                self.tb.add_scalar("lr", lr, step)
+            self._emit(step, lr)
+
+    def _emit(self, step: int, lr: float) -> None:
+        rate = self.every / max(time.time() - self.t0, 1e-9)
+        self.t0 = time.time()
+        self.logger.info(
+            f"iter {step} | lr {lr:.3e} | {rate:.2f} it/s | {self.meter.line()}"
+        )
+        if self.tb:
+            for k in self.meter.buffers:
+                self.tb.add_scalar(k, self.meter.window_avg(k), step)
+            self.tb.add_scalar("lr", lr, step)
 
     def epoch(self, epoch: int, step: int) -> None:
+        if self._pending:
+            import jax
+
+            for scalars in jax.device_get(self._pending):
+                self.meter.update(scalars)
+            self._pending.clear()
         self.logger.info(
             f"epoch {epoch} done at iter {step} | "
             + ", ".join(
