@@ -141,8 +141,9 @@ def match_templates(
             qvalid & (idx_s2t != 0) & (idx_t2s != 0)
         ).astype(sim.dtype)              # aligned-index product, see docstring
         any_valid = mask_all.sum(axis=2) > 0
+        # divisor is num_patches**2 == h*w == S (utils/matching.py:37,65-67)
         return jnp.where(
-            any_valid, (score_t2s * mask_all).sum(axis=2) / (S**2), 0.0
+            any_valid, (score_t2s * mask_all).sum(axis=2) / S, 0.0
         )  # (B, c)
 
     scores_all = jax.lax.map(score_chunk, t)  # (n_chunks, B, chunk)

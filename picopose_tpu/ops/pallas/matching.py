@@ -53,7 +53,8 @@ def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
 
     count = rowdot(row_terms)
     total = rowdot(rowmax * row_terms)
-    score = jnp.where(count > 0, total / (S * S), 0.0)
+    # divisor is num_patches**2 == h*w == S (utils/matching.py:37,65-67)
+    score = jnp.where(count > 0, total / S, 0.0)
     # the whole (B, N) score table is one SMEM-resident block revisited by
     # every program (scalar stores must target SMEM on TPU)
     out_ref[pl.program_id(0), pl.program_id(1)] = score

@@ -142,6 +142,7 @@ def forward_train(model, params, batch_stats, batch, key):
         src_depth=batch["tem_full_depth"],
         tar_mask=batch["real_mask"], tar_M=batch["real_M"], tar_K=batch["real_K"],
         T_src2tar=T_tem2real,
+        tar_depth=batch["real_full_depth"],
         crop=batch["tem_mask"].shape[1],
     )
     losses = {}

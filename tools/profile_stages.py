@@ -21,19 +21,54 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, iters=6, perturb=None, **kw):
+def _checksum(out) -> float:
+    """Host fetch of a scalar depending on every output leaf — the only sync
+    the tunnel cannot satisfy from its memo cache."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    tot = 0.0
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            tot += float(jnp.sum(leaf.astype(jnp.float32)))
+    return tot
+
+
+def timeit(fn, *args, iters=6, **kw):
+    """Median latency with UNIQUE inputs per iteration + dependent fetch.
+
+    Every inexact-float array argument is perturbed by i*1e-6 each round so
+    the tunnel's execution memoization can never hit.
+    """
+    import jax.numpy as jnp
+
+    def eps(dtype, i):
+        # must exceed the dtype's epsilon at O(1) values or bf16 rounds the
+        # perturbation away and the tunnel memo-hits anyway
+        step = 0.05 if dtype == jnp.bfloat16 else 1e-6
+        return jnp.asarray((i + 1) * step, dtype)
+
+    def perturbed(i):
+        a = []
+        for arg in args:
+            if (
+                hasattr(arg, "dtype")
+                and jnp.issubdtype(arg.dtype, jnp.inexact)
+                and arg.ndim > 0
+            ):
+                a.append(arg + eps(arg.dtype, i))
+            elif isinstance(arg, (list, tuple)) and arg and hasattr(arg[0], "dtype"):
+                a.append(type(arg)(x + eps(x.dtype, i) for x in arg))
+            else:
+                a.append(arg)
+        return a
+
+    _checksum(fn(*perturbed(-1), **kw))  # compile + warmup
     lat = []
     for i in range(iters):
-        a = list(args)
-        if perturb is not None:
-            a[perturb] = args[perturb] + np.float32((i + 1) * 1e-6)
+        a = perturbed(i)
         t0 = time.perf_counter()
-        out = fn(*a, **kw)
-        jax.block_until_ready(out)
+        _checksum(fn(*a, **kw))
         lat.append(time.perf_counter() - t0)
     return sorted(lat)[len(lat) // 2] * 1000.0
 
@@ -69,7 +104,7 @@ def main():
 
     rgb = jnp.asarray(rng.normal(size=(B, 224, 224, 3)), jnp.float32)
     feats_fn = jax.jit(lambda v, x: model.apply(v, x, method=model.features))
-    t_vit = timeit(feats_fn, variables, rgb, perturb=1)
+    t_vit = timeit(feats_fn, variables, rgb)
     feats = feats_fn(variables, rgb)
 
     bank_last = jnp.asarray(rng.normal(size=(V, 16, 16, C)), jnp.bfloat16)
@@ -131,7 +166,12 @@ def main():
     )
     t_pnp = timeit(pnp_fn, pts3, pts2, Kb, valid)
 
+    # tunnel round-trip floor: a trivial dependent fetch
+    tiny = jnp.ones((8, 128), jnp.float32)
+    t_rtt = timeit(jax.jit(lambda x: x * 2.0 + 1.0), tiny)
+
     print(f"device: {jax.devices()[0].platform} x{len(jax.devices())}")
+    print(f"dispatch+fetch RTT floor:    {t_rtt:8.1f} ms (subtract from rows)")
     print(f"ViT features      (B={B}):   {t_vit:8.1f} ms")
     print(f"match {V} views   (B={B}):   {t_match:8.1f} ms")
     print(f"stage2 affine     (BH={BH}): {t_stage2:8.1f} ms")
