@@ -24,6 +24,8 @@ samples offset (x + (i - r), y + (j - r)) — the outer window index walks x.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,7 +88,7 @@ def corr_lookup_pyramid(
     return jnp.concatenate(outs, axis=-1)
 
 
-def corr_lookup(
+def _corr_lookup_xla(
     feat1: jnp.ndarray,
     feat2: jnp.ndarray,
     flow: jnp.ndarray,
@@ -168,8 +170,14 @@ def corr_lookup(
 
             Ay = interp_matrix(y0, fr[:, 1], iota_h)  # (Pc, n, Hp)
             Ax = interp_matrix(x0, fr[:, 0], iota_w)  # (Pc, n, Wp)
-            t1 = jnp.einsum("poj,pji->poi", Ay, corr)
-            win = jnp.einsum("poi,pxi->pox", t1, Ax)  # (Pc, oy, ox)
+            # precision='highest' is required for CORRECTNESS, not speed:
+            # default-precision einsum truncates fp32 operands to bf16
+            # (~0.3% error in every window tap); these contractions are
+            # tiny, so the fp32 matmul cost is noise.
+            t1 = jnp.einsum("poj,pji->poi", Ay, corr, precision="highest")
+            win = jnp.einsum(
+                "poi,pxi->pox", t1, Ax, precision="highest"
+            )  # (Pc, oy, ox)
             return win.reshape(B, chunk, n, n)
 
         if n_chunks == 1:
@@ -182,3 +190,81 @@ def corr_lookup(
         win = jnp.swapaxes(win, -1, -2).reshape(B, H, W, n * n)
         outs.append(win)
     return jnp.concatenate(outs, axis=-1)
+
+
+def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels):
+    """Fused-kernel lookup: pooling in XLA, one Pallas call per level.
+
+    Numerically equivalent to _corr_lookup_xla up to fp32-vs-bf16 window
+    arithmetic (the kernel keeps the correlation block fp32 through the
+    window evaluation; the XLA path rounds it to the feature dtype first).
+    """
+    from picopose_tpu.ops.pallas.corr import corr_window_pallas
+
+    B, H, W, C = feat1.shape
+    P = H * W
+    n = 2 * radius + 1
+    grid = pixel_coords_grid(H, W, flow.dtype) + flow
+    f1 = feat1.reshape(B, P, C)
+    outs = []
+    pooled = feat2
+    for i in range(num_levels):
+        if i > 0:
+            pooled = avg_pool2d(pooled, 2)
+        Hp, Wp = pooled.shape[1], pooled.shape[2]
+        cen = (grid / (2.0 ** i)).reshape(B, P, 2)
+        win = corr_window_pallas(
+            f1, pooled.reshape(B, Hp * Wp, C), cen, Hp, Wp, radius
+        )
+        outs.append(win.reshape(B, H, W, n * n))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _corr_lookup_pallas(feat1, feat2, flow, radius, num_levels):
+    return _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels)
+
+
+def _corr_lookup_pallas_fwd(feat1, feat2, flow, radius, num_levels):
+    out = _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels)
+    return out, (feat1, feat2, flow)
+
+
+def _corr_lookup_pallas_bwd(radius, num_levels, res, g):
+    # Rematerialized backward through the differentiable XLA formulation
+    # (the Pallas forward is opaque to autodiff; same pattern as
+    # ops/attention.py — an undifferentiable kernel broke TPU training in
+    # round 1, docs/PERF.md).
+    feat1, feat2, flow = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _corr_lookup_xla(a, b, c, radius, num_levels),
+        feat1, feat2, flow,
+    )
+    return vjp(g)
+
+
+_corr_lookup_pallas.defvjp(_corr_lookup_pallas_fwd, _corr_lookup_pallas_bwd)
+
+
+def corr_lookup(
+    feat1: jnp.ndarray,
+    feat2: jnp.ndarray,
+    flow: jnp.ndarray,
+    radius: int,
+    num_levels: int,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """Windowed correlation lookup — fused Pallas kernel on TPU, XLA
+    one-hot contraction elsewhere.  See _corr_lookup_xla for the shared
+    semantics and the formulation benchmarks; ops/pallas/corr.py for the
+    kernel.  impl: 'auto' | 'pallas' | 'xla' (default: $PICOPOSE_CORR_IMPL
+    or 'auto' — the env hook exists for A/B profiling)."""
+    if impl is None:
+        import os
+
+        impl = os.environ.get("PICOPOSE_CORR_IMPL", "auto")
+    if impl == "pallas" or (
+        impl == "auto" and jax.devices()[0].platform == "tpu"
+    ):
+        return _corr_lookup_pallas(feat1, feat2, flow, radius, num_levels)
+    return _corr_lookup_xla(feat1, feat2, flow, radius, num_levels)

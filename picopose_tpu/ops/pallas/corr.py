@@ -1,0 +1,152 @@
+"""Fused correlation-window lookup kernel (RAFT lookup, one VMEM pass).
+
+This is the Pallas form of picopose_tpu.ops.corr.corr_lookup's gather-free
+formulation (itself the TPU rewrite of utils/corr_lookup.py:69-134 +
+raft_decoder.py:14-53).  The XLA path materializes a per-chunk correlation
+slab in HBM (lax.map serializes ~64 chunks) and evaluates the bilinear
+window as thousands of tiny batched (n, Hp) x (Hp, Wp) matmuls — MXU
+utilization a few percent.  This kernel keeps each pixel tile's whole
+correlation block in VMEM and reduces the window in three dense steps:
+
+  per program (stream b, pixel tile t):
+    corr = f1_tile @ f2_level^T * C^-0.5          -- one MXU matmul
+    R_j  = where(yq == y0+j, corr, 0) @ S          -- j = 0..2r+1
+           with yq = lane//Wp and S[q, x] = (q mod Wp == x): masking picks
+           window row y0+j per pixel, the SHARED 0/1 stride matrix S sums
+           lanes with equal x — a per-pixel row-select expressed as a
+           dense MXU matmul with no per-pixel matrices anywhere
+    rows[ky] = (1-fy)*R_ky + fy*R_{ky+1}           -- bilinear in y
+    win[kx*n+ky] = sum_x rows[ky] * ((1-fx)*[x==x0+kx] + fx*[x==x0+kx+1])
+
+No reshapes/relayouts of the correlation block, no gathers: out-of-range
+taps match no lane index and contribute zero — grid_sample
+padding_mode='zeros' exactly.  Channel order matches the reference
+(utils/corr_lookup.py:116-126): the outer window index walks x, i.e.
+channel k = kx*(2r+1) + ky.
+
+Gradients: the kernel is forward-only; ops/corr.py wraps it in a custom
+VJP that rematerializes through the XLA one-hot path (same pattern as
+ops/attention.py — TPU training fails outright through an opaque Pallas
+forward, see docs/PERF.md round-1 note).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _window_kernel(
+    f1_ref, f2_ref, cen_ref, out_ref, *, Hp: int, Wp: int, radius: int,
+    scale: float,
+):
+    n = 2 * radius + 1
+    f1 = f1_ref[0]  # (TP, C)
+    f2 = f2_ref[0]  # (Q, C)
+    TP = f1.shape[0]
+    Q = f2.shape[0]
+    fp32_in = f1.dtype == jnp.float32
+    # fp32 operands (training forward) must not ride the default 1-pass
+    # bf16 MXU route; bf16 operands (eval) accumulate fp32 regardless, and
+    # Mosaic rejects HIGHEST on a bf16 matmul outright.
+    prec = jax.lax.Precision.HIGHEST if fp32_in else None
+    mat_dt = jnp.float32 if fp32_in else jnp.bfloat16
+
+    corr = jax.lax.dot_general(
+        f1, f2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale  # (TP, Q) fp32
+
+    cen = cen_ref[0].astype(jnp.float32)  # (TP, 2): (x, y) window centers
+    cx, cy = cen[:, 0:1], cen[:, 1:2]     # (TP, 1)
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx, fy = cx - x0f, cy - y0f
+    x0 = x0f.astype(jnp.int32) - radius   # (TP, 1) first tap per axis
+    y0 = y0f.astype(jnp.int32) - radius
+
+    # --- y phase: select window row y0+j per pixel, sum equal-x lanes via
+    # the shared stride matrix S (both dense, no per-pixel operands on MXU)
+    yq = jax.lax.broadcasted_iota(jnp.int32, (TP, Q), 1) // Wp
+    S = (
+        jax.lax.broadcasted_iota(jnp.int32, (Q, Wp), 0) % Wp
+        == jax.lax.broadcasted_iota(jnp.int32, (Q, Wp), 1)
+    ).astype(mat_dt)
+    R = []
+    for j in range(n + 1):
+        masked = jnp.where(yq == y0 + j, corr, 0.0).astype(mat_dt)
+        R.append(
+            jax.lax.dot_general(
+                masked, S, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        )  # (TP, Wp)
+    rows = [(1.0 - fy) * R[ky] + fy * R[ky + 1] for ky in range(n)]
+
+    # --- x phase: bilinear column weights + lane reductions
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (TP, Wp), 1)
+    ex = [(iota_x == x0 + j).astype(jnp.float32) for j in range(n + 1)]
+    cols = []
+    for kx in range(n):
+        xw = (1.0 - fx) * ex[kx] + fx * ex[kx + 1]
+        for ky in range(n):  # channel k = kx*n + ky (outer index walks x)
+            cols.append(jnp.sum(rows[ky] * xw, axis=1, keepdims=True))
+    out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
+
+
+def _pick_tile(P: int) -> int:
+    tp = min(P, 256)
+    while P % tp:
+        tp //= 2
+    return tp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Hp", "Wp", "radius", "interpret")
+)
+def corr_window_pallas(
+    f1: jnp.ndarray,   # (B, P, C) query-side features
+    f2: jnp.ndarray,   # (B, Q, C) pooled sampled-side features, Q = Hp*Wp
+    cen: jnp.ndarray,  # (B, P, 2) window centers in this level's cells (x, y)
+    Hp: int,
+    Wp: int,
+    radius: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed correlation for ONE pyramid level: (B, P, (2r+1)^2)."""
+    B, P, C = f1.shape
+    Q = f2.shape[1]
+    n = 2 * radius + 1
+    TP = _pick_tile(P)
+    kernel = functools.partial(
+        _window_kernel, Hp=Hp, Wp=Wp, radius=radius, scale=float(C) ** -0.5
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // TP),
+        in_specs=[
+            pl.BlockSpec((1, TP, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP, 2), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TP, n * n), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, n * n), f1.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * P * Q * (C + (n + 1) * Wp),
+            bytes_accessed=(B * P * C + B * Q * C) * f1.dtype.itemsize,
+            transcendentals=0,
+        ),
+        # sub-128-lane temps inflate the scoped-VMEM accounting past the
+        # 16 MB default; the real working set is a few MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(f1, f2, cen)

@@ -189,27 +189,27 @@ def _gauss_newton(pts3d, uv, w, R, t, iters: int):
         R, t = Rt
         p = _EINSUM("ij,nj->ni", R, pts3d) + t  # (N, 3)
         z = jnp.maximum(p[..., 2:3], 1e-6)
-        pred = p[..., :2] / z
-        r = (pred - uv) * w[..., None]  # (N, 2)
-        x, y = p[..., 0], p[..., 1]
         iz = 1.0 / z[..., 0]
-        # d(pi)/dp (N, 2, 3)
-        J_pi = jnp.stack(
-            [
-                jnp.stack([iz, jnp.zeros_like(iz), -x * iz * iz], -1),
-                jnp.stack([jnp.zeros_like(iz), iz, -y * iz * iz], -1),
-            ],
-            -2,
+        u, v = p[..., 0] * iz, p[..., 1] * iz
+        r = (jnp.stack([u, v], -1) - uv) * w[..., None]  # (N, 2)
+        # closed-form rows of J = d(pi)/d(xi) for xi = (nu, omega) with
+        # dp = nu - [p]x omega (the J_pi @ [I | -hat(p)] product expanded
+        # by hand — two fewer batched matmuls per GN iteration):
+        #   du/dxi = [iz, 0, -u*iz, -u*v, 1+u^2, -v]
+        #   dv/dxi = [0, iz, -v*iz, -(1+v^2), u*v, u]
+        zro = jnp.zeros_like(u)
+        Ju = jnp.stack([iz, zro, -u * iz, -u * v, 1.0 + u * u, -v], -1)
+        Jv = jnp.stack([zro, iz, -v * iz, -(1.0 + v * v), u * v, u], -1)
+        Ju = Ju * w[..., None]
+        Jv = Jv * w[..., None]
+        JtJ = (
+            _EINSUM("ni,nj->ij", Ju, Ju)
+            + _EINSUM("ni,nj->ij", Jv, Jv)
+            + 1e-6 * jnp.eye(6, dtype=p.dtype)
         )
-        # dp/dxi with xi = (nu, omega): dp = nu - [p]x omega
-        J_p = jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (p.shape[0], 3, 3)),
-             -_hat(p)],
-            -1,
-        )  # (N, 3, 6)
-        J = _EINSUM("nij,njk->nik", J_pi, J_p) * w[..., None, None]  # (N, 2, 6)
-        JtJ = _EINSUM("nik,nil->kl", J, J) + 1e-6 * jnp.eye(6, dtype=p.dtype)
-        Jtr = _EINSUM("nik,ni->k", J, r)
+        Jtr = _EINSUM("ni,n->i", Ju, r[..., 0]) + _EINSUM(
+            "ni,n->i", Jv, r[..., 1]
+        )
         Lc = jnp.linalg.cholesky(JtJ)
         delta = -jax.scipy.linalg.cho_solve((Lc, True), Jtr)
         nu, omega = delta[:3], delta[3:]
@@ -224,7 +224,7 @@ def _gauss_newton(pts3d, uv, w, R, t, iters: int):
 
 def _ransac_pnp_single(
     pts3d, pts2d_px, K, valid, key, iters, sample, reproj_px, refine_iters,
-    min_points, hyp_refine_iters=5,
+    min_points, hyp_refine_iters=5, score_subset=1024,
 ):
     N = pts3d.shape[0]
     w = valid.astype(jnp.float32)
@@ -234,10 +234,28 @@ def _ransac_pnp_single(
     ph = jnp.concatenate([pts2d_px, jnp.ones((N, 1), pts2d_px.dtype)], -1)
     uv = _EINSUM("ij,nj->ni", Kinv, ph)[:, :2]  # normalized coords
 
-    # --- hypothesis sampling: Gumbel-top-k over valid entries, per iteration
-    g = jax.random.gumbel(key, (iters, N))
-    g = g + jnp.where(valid, 0.0, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(g, sample)  # (iters, sample)
+    # --- hypothesis sampling: uniform draws from a valid-index table.
+    # (A per-iteration Gumbel-top-k over all N was measurably expensive:
+    # iters*N gumbels per instance just to pick 6 indices.)  argsort(~valid)
+    # is stable, so the first n_valid table entries are exactly the valid
+    # indices; sampling WITH replacement can (rarely, ~C(6,2)/n_valid)
+    # produce a duplicate inside one minimal sample — the degenerate DLT
+    # then fails its finiteness check and scores -1, costing one of 150
+    # hypotheses, which RANSAC absorbs by construction.
+    k_hyp, k_sub = jax.random.split(key)
+    table = jnp.argsort(jnp.logical_not(valid))  # (N,) valid indices first
+    nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
+    sample_idx = table[jax.random.randint(k_hyp, (iters, sample), 0, nv)]
+
+    # --- loose-phase scoring subset: ranking 150 hypotheses does not need
+    # all N correspondences; a fixed random subset of valid points (shared
+    # by every hypothesis of this instance, so the comparison stays fair)
+    # cuts the scoring volume 4x.  The polish/refit/final phases below
+    # still score strictly on ALL points — the returned pose and inlier
+    # ratio are subset-free.
+    S = min(score_subset, N)
+    sub = table[jax.random.randint(k_sub, (S,), 0, nv)]
+    pts3d_s, pts2d_s, valid_s = pts3d[sub], pts2d_px[sub], valid[sub]
 
     # A minimal DLT is too noise-sensitive under weak perspective (small
     # object, long focal): its hypotheses need a few Gauss-Newton steps on
@@ -253,8 +271,8 @@ def _ransac_pnp_single(
     def solve_dlt(idx):
         ws = jnp.ones((sample,), jnp.float32)
         R, t, ok = _weighted_dlt(pts3d[idx], uv[idx], ws)
-        err2 = _reproj_err2_px(pts3d, pts2d_px, K, R, t)
-        loose = (err2 < (4.0 * reproj_px) ** 2) & valid
+        err2 = _reproj_err2_px(pts3d_s, pts2d_s, K, R, t)
+        loose = (err2 < (4.0 * reproj_px) ** 2) & valid_s
         score = jnp.where(ok, loose.sum(), -1)
         return R, t, score
 
