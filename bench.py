@@ -8,11 +8,25 @@ work the reference does per instance in run_test.py:141-186, minus host I/O.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-REF_CROPS_PER_SEC below is an ESTIMATE of the reference's single-GPU
-per-crop rate (ViT-L forward x(1 query + 5 hypothesis re-runs) + DPT/flow
-x5 + serial CPU RANSAC x5 per crop, batch 4) pending a measured baseline —
-treat vs_baseline as provisional until one exists.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+REF_CROPS_PER_SEC below is an estimate of the reference's single-GPU
+per-crop rate, now BOUNDED two ways by tools/ref_baseline.py:
+
+  * serial-host bound (measured): the reference runs OpenCV RANSAC on the
+    host per instance x per hypothesis (run_test.py:168-186); one call at
+    4096 correspondences measures 22 ms on this host's CPU -> 5 serial
+    calls cap the reference near ~9 crops/s when RANSAC can't early-exit
+    (clean inlier sets let cv2 stop early, so treat as the hard-scene
+    bound, not a universal one);
+  * GPU-compute upper bound (analytic): the reference's own dataflow
+    (ViT-L x6 per crop — query + 5 per-hypothesis re-runs, stage-3 both
+    sides x5, 162-view matching) is 1.65 TFLOP/crop; at an optimistic
+    50%-MFU A100 that is <= ~95 crops/s with zero host time.
+
+REF_CROPS_PER_SEC = 8 sits at the serial-host bound; vs_baseline is that
+ratio.  The JSON also reports our achieved TFLOP/s and MFU (from XLA's
+own cost analysis of the compiled program) so "fast" is auditable
+against the v5e peak, not only against an estimated rival.
 """
 
 from __future__ import annotations
@@ -22,7 +36,9 @@ import time
 
 import numpy as np
 
-REF_CROPS_PER_SEC = 8.0  # provisional estimate; see module docstring
+REF_CROPS_PER_SEC = 8.0       # serial-host bound; see module docstring
+REF_GPU_UPPER_BOUND = 94.8    # analytic; tools/ref_baseline.py
+V5E_PEAK_TFLOPS = 197.0       # bf16 per chip
 
 
 def main(
@@ -83,6 +99,21 @@ def main(
     out = run_batch_jit(model, variables, batch_data, bank, key, hyp=hyp)
     _ = float(out.inlier_ratio.sum())  # compile + warmup (host-fetch sync)
 
+    # XLA's own FLOP count of the compiled program -> auditable MFU
+    flops = 0.0
+    try:
+        lowered = jax.jit(
+            lambda v, b, bk, k: run_batch_jit(
+                model, v, b, bk, k, hyp=hyp
+            )
+        ).lower(variables, batch_data, bank, key)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
     # Timing discipline: the device tunnel in this environment memoizes
     # identical executions and reports early readiness, so every iteration
     # (a) gets UNIQUE inputs and (b) ends with a device->host fetch of a
@@ -109,6 +140,7 @@ def main(
     # attached hardware the two agree.
     crops_per_sec = batch / (p50_ms / 1000.0) / n_chips
     crops_per_sec_mean = batch * iters / dt / n_chips
+    achieved_tflops = flops / (p50_ms / 1e3) / 1e12 if flops else 0.0
     print(
         json.dumps(
             {
@@ -116,8 +148,15 @@ def main(
                 "value": round(crops_per_sec, 3),
                 "unit": "crops/s/chip",
                 "vs_baseline": round(crops_per_sec / REF_CROPS_PER_SEC, 3),
+                "vs_ref_gpu_upper_bound": round(
+                    crops_per_sec / REF_GPU_UPPER_BOUND, 3
+                ),
                 "p50_batch_latency_ms": round(p50_ms, 2),
                 "mean_crops_per_sec": round(crops_per_sec_mean, 3),
+                "achieved_tflops_per_sec": round(achieved_tflops, 2),
+                "mfu_vs_v5e_peak": round(
+                    achieved_tflops / V5E_PEAK_TFLOPS, 4
+                ),
                 "batch": batch,
                 "hyp": hyp,
                 "views": views,
@@ -185,11 +224,80 @@ def main_train(batch: int = 8, iters: int = 6, vit: str = "dinov2_vitl14"):
     )
 
 
+def main_bank(views: int = 162, vit: str = "dinov2_vitl14", crop: int = 224):
+    """BASELINE stretch config (5): build a full resident TemplateBank with
+    the real model (all four taps + cached DPT pyramids) and print the HBM
+    budget table plus build time.  For dinov2_vitg14 this exercises the
+    SwiGLU giant trunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.eval.pipeline import build_bank
+    from picopose_tpu.models import PicoPose
+
+    taps = {
+        "dinov2_vitl14": (5, 11, 17, 23),
+        "dinov2_vitg14": (9, 19, 29, 39),
+        "dinov2_vits14": (1, 3, 5, 7),
+    }[vit]
+    model = PicoPose(vit_type=vit, blocks_to_take=taps)
+    rng = np.random.default_rng(0)
+    imgs0 = jnp.zeros((1, crop, crop, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), imgs0, jnp.ones((1, crop, crop)), True
+    )
+    tem_rgb = jnp.asarray(
+        rng.normal(size=(views, crop, crop, 3)), jnp.float32
+    )
+    tem_mask = jnp.asarray(rng.random((views, crop, crop)) > 0.3, jnp.float32)
+    pts3d = jnp.asarray(
+        rng.normal(size=(views, 64, 64, 3)).astype(np.float32) * 0.02
+        + [0, 0, 0.5]
+    )
+    pose = np.broadcast_to(np.eye(4, dtype=np.float32), (views, 4, 4)).copy()
+    pose[:, 2, 3] = 0.5
+    K = np.broadcast_to(
+        np.array([[572.4, 0, 320], [0, 573.6, 240], [0, 0, 1]], np.float32),
+        (views, 3, 3),
+    )
+    M = np.broadcast_to(np.eye(3, dtype=np.float32), (views, 3, 3))
+    t0 = time.perf_counter()
+    bank = build_bank(
+        model, variables, tem_rgb, tem_mask, pts3d,
+        jnp.asarray(pose), jnp.asarray(K), jnp.asarray(M),
+    )
+    jax.block_until_ready(bank.feats)
+    build_s = time.perf_counter() - t0
+    nbytes = {}
+    for name, leaf in [
+        ("feats", bank.feats), ("dpt", bank.dpt or ()), ("mask", bank.mask),
+        ("pts3d", bank.pts3d), ("pose", bank.pose), ("K", bank.K),
+        ("M", bank.M),
+    ]:
+        leaves = leaf if isinstance(leaf, (tuple, list)) else [leaf]
+        nbytes[name] = int(sum(x.size * x.dtype.itemsize for x in leaves))
+    total_mb = sum(nbytes.values()) / 2**20
+    print(
+        json.dumps(
+            {
+                "metric": "resident_bank_hbm_mb",
+                "value": round(total_mb, 1),
+                "unit": "MiB",
+                "vs_baseline": 0.0,
+                "vit": vit,
+                "views": views,
+                "build_seconds": round(build_s, 2),
+                "bytes_by_field": nbytes,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["eval", "train"], default="eval")
+    p.add_argument("--mode", choices=["eval", "train", "bank"], default="eval")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--views", type=int, default=162)
     p.add_argument("--hyp", type=int, default=5)
@@ -197,6 +305,10 @@ if __name__ == "__main__":
     p.add_argument("--vit", type=str, default="dinov2_vitl14")
     a = p.parse_args()
     if a.mode == "train":
+        # BASELINE config (4) is the train step @ batch 32: bench.py
+        # --mode train --batch 32
         main_train(min(a.batch, 8) if a.batch == 16 else a.batch, a.iters, a.vit)
+    elif a.mode == "bank":
+        main_bank(a.views, a.vit)
     else:
         main(a.batch, a.views, a.hyp, a.iters, a.vit)

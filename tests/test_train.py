@@ -104,6 +104,63 @@ class TestTrainStep:
         ge.dryrun_multichip(8)
 
 
+class TestTrainStepDeterminism:
+    def test_same_seed_same_step_bitwise(self, rng):
+        """Two train steps from independently-built identical states, same
+        batch and PRNG key, must agree bitwise — the repeatability the
+        reference gets from torch determinism flags, here from jax's
+        functional PRNG (VERDICT round-1 item 10)."""
+        from picopose_tpu.models import PicoPose
+        from picopose_tpu.train.step import init_state, make_optimizer, train_step
+
+        crop, gi = 112, 64
+        model = PicoPose(
+            vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7),
+            compute_dtype=jnp.float32,
+        )
+        tx = make_optimizer(max_iters=100)
+        B = 2
+        eye4 = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+        pose_r = eye4.copy(); pose_r[:, 2, 3] = 0.6
+        pose_t = eye4.copy(); pose_t[:, 2, 3] = 0.5
+        K = np.broadcast_to(
+            np.array([[280.0, 0, 56.0], [0, 280.0, 56.0], [0, 0, 1.0]],
+                     np.float32), (B, 3, 3),
+        ).copy()
+        M = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)).copy()
+        batch = {
+            "real_rgb": rng.normal(size=(B, crop, crop, 3)).astype(np.float32),
+            "tem_rgb": rng.normal(size=(B, crop, crop, 3)).astype(np.float32),
+            "real_mask": np.ones((B, crop, crop), np.float32),
+            "tem_mask": np.ones((B, crop, crop), np.float32),
+            "real_M": M, "tem_M": M.copy(),
+            "real_K": K, "tem_K": K.copy(),
+            "real_pose": pose_r, "tem_pose": pose_t,
+            "real_full_depth": np.full((B, gi, gi), 0.6, np.float32),
+            "tem_full_depth": np.full((B, gi, gi), 0.5, np.float32),
+        }
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        results = []
+        for _ in range(2):  # fresh state each time: train_step donates it
+            state = init_state(
+                model, tx, jax.random.PRNGKey(0), batch_size=1, crop=crop
+            )
+            new_state, losses = train_step(
+                model, tx, state, jb, jax.random.PRNGKey(7)
+            )
+            leaves = jax.tree_util.tree_leaves(new_state.params)
+            results.append((
+                {k: np.asarray(v) for k, v in losses.items()},
+                [np.asarray(l) for l in leaves[:8]],
+            ))
+        (l0, p0), (l1, p1) = results
+        for k in l0:
+            np.testing.assert_array_equal(l0[k], l1[k], err_msg=k)
+        for a, b in zip(p0, p1):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestSchedulesAndOptimizers:
     def test_warmup_cosine_values(self):
         from picopose_tpu.train.step import warmup_cosine_schedule
