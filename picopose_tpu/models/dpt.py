@@ -31,15 +31,22 @@ class ResidualConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = x.dtype  # follow the caller's compute dtype (see flow.py note)
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        out = nn.Conv(
+            self.features, (3, 3), padding=1, name="conv1", dtype=dt
+        )(out)
         out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn1", dtype=dt,
         )(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
+        out = nn.Conv(
+            self.features, (3, 3), padding=1, name="conv2", dtype=dt
+        )(out)
         out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn2", dtype=dt,
         )(out)
         return out + x
 
@@ -55,7 +62,9 @@ class FeatureFusionBlock(nn.Module):
             x = x + ResidualConvUnit(self.features, name="resConfUnit1")(res, train)
         x = ResidualConvUnit(self.features, name="resConfUnit2")(x, train)
         x = resize_bilinear(x, size, align_corners=True)
-        return nn.Conv(self.features, (1, 1), name="out_conv")(x)
+        return nn.Conv(
+            self.features, (1, 1), name="out_conv", dtype=x.dtype
+        )(x)
 
 
 class DPTHead(nn.Module):
@@ -70,25 +79,28 @@ class DPTHead(nn.Module):
         assert len(levels) == 4
         outs = []
         for i, x in enumerate(levels):
-            x = nn.Conv(self.out_channels[i], (1, 1), name=f"projects_{i}")(x)
+            dt = x.dtype  # follow the caller's compute dtype (flow.py note)
+            x = nn.Conv(
+                self.out_channels[i], (1, 1), name=f"projects_{i}", dtype=dt
+            )(x)
             if i == 0:
                 x = nn.ConvTranspose(
                     self.out_channels[i], (4, 4), strides=(4, 4), padding="VALID",
-                    name="resize_0",
+                    name="resize_0", dtype=dt,
                 )(x)
             elif i == 1:
                 x = nn.ConvTranspose(
                     self.out_channels[i], (2, 2), strides=(2, 2), padding="VALID",
-                    name="resize_1",
+                    name="resize_1", dtype=dt,
                 )(x)
             elif i == 3:
                 x = nn.Conv(
                     self.out_channels[i], (3, 3), strides=(2, 2), padding=1,
-                    name="resize_3",
+                    name="resize_3", dtype=dt,
                 )(x)
             x = nn.Conv(
                 self.features, (3, 3), padding=1, use_bias=False,
-                name=f"layer{i + 1}_rn",
+                name=f"layer{i + 1}_rn", dtype=dt,
             )(x)
             outs.append(x)
 

@@ -28,7 +28,11 @@ from picopose_tpu.ops.sample import warp_by_flow
 
 
 def _conv_relu(x, ch: int, k: int, pad: int, name: str):
-    x = nn.Conv(ch, (k, k), padding=pad, name=name)(x)
+    # dtype=x.dtype keeps the conv in the caller's compute dtype: without
+    # it flax promotes bf16 activations with the fp32 params to FP32
+    # activations throughout the stack — 2x the HBM/VMEM traffic of the
+    # hottest convs in the model (params stay fp32 either way)
+    x = nn.Conv(ch, (k, k), padding=pad, name=name, dtype=x.dtype)(x)
     return nn.relu(x)
 
 
@@ -87,10 +91,13 @@ class FlowDecoder(nn.Module):
         for level in range(self.num_levels):
             # one shared projection applied to BOTH feature maps
             # (flow_decoder.py:78 uses the same proj module for render/real)
-            proj_conv = nn.Conv(256, (1, 1), name=f"proj_{level}_conv")
+            cdt = tem_feats[level].dtype
+            proj_conv = nn.Conv(
+                256, (1, 1), name=f"proj_{level}_conv", dtype=cdt
+            )
             proj_bn = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f"proj_{level}_bn",
+                name=f"proj_{level}_bn", dtype=cdt,
             )
             ft = proj_bn(proj_conv(tem_feats[level]))
             fr = proj_bn(proj_conv(real_feats[level]))
