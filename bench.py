@@ -133,6 +133,47 @@ def main(
         lat.append(time.perf_counter() - ti)
     dt = time.perf_counter() - t0
 
+    # device-op time from a profiler trace: the tunnel development setup
+    # adds tens of ms of RTT per host fetch, so wall p50 OVERSTATES batch
+    # latency; the summed XLA-op device time is the RTT-free number a
+    # directly-attached chip would deliver.
+    device_ms = 0.0
+    try:
+        import collections
+        import glob
+        import gzip
+        import shutil
+        import tempfile
+
+        import jax.profiler
+
+        tdir = tempfile.mkdtemp(prefix="bench_trace")
+        jax.profiler.start_trace(tdir)
+        for i in range(2):
+            b = dict(batch_data)
+            b["real_rgb"] = batch_data["real_rgb"] + jnp.float32(7 + i * 1e-6)
+            o = run_batch_jit(
+                model, variables, b, bank, jax.random.PRNGKey(99 + i), hyp=hyp
+            )
+            _ = float(o.inlier_ratio.sum())
+        jax.profiler.stop_trace()
+        tf = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+        trace = json.load(gzip.open(tf))
+        meta = {}
+        for e in trace["traceEvents"]:
+            if e.get("ph") == "M" and e.get("name") == "thread_name":
+                meta[(e["pid"], e.get("tid"))] = e["args"]["name"]
+        tot = sum(
+            e.get("dur", 0)
+            for e in trace["traceEvents"]
+            if e.get("ph") == "X"
+            and meta.get((e.get("pid"), e.get("tid"))) == "XLA Ops"
+        )
+        device_ms = tot / 1e3 / 2
+        shutil.rmtree(tdir, ignore_errors=True)
+    except Exception:
+        pass
+
     n_chips = max(1, len(jax.devices()))
     p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
     # steady-state throughput from the median batch latency — the mean is
@@ -152,6 +193,10 @@ def main(
                     crops_per_sec / REF_GPU_UPPER_BOUND, 3
                 ),
                 "p50_batch_latency_ms": round(p50_ms, 2),
+                "device_batch_ms": round(device_ms, 2),
+                "device_crops_per_sec": (
+                    round(batch / (device_ms / 1e3), 3) if device_ms else 0.0
+                ),
                 "mean_crops_per_sec": round(crops_per_sec_mean, 3),
                 "achieved_tflops_per_sec": round(achieved_tflops, 2),
                 "mfu_vs_v5e_peak": round(

@@ -109,11 +109,19 @@ def match_templates(
     t = l2_normalize(tem_feats.astype(jnp.float32), axis=-1)
 
     if shared_bank and impl != "xla" and jax.devices()[0].platform == "tpu":
+        import os
+
         from picopose_tpu.ops.pallas.matching import match_scores_pallas
 
-        sim_avg = match_scores_pallas(
-            q, qm.reshape(B, S), t.reshape(N, S, C)
-        )
+        q_k, t_k = q, t.reshape(N, S, C)
+        if os.environ.get("PICOPOSE_MATCH_INT8", "1") != "0":
+            # normalized features live in [-1, 1]: symmetric int8 at scale
+            # 127 costs <0.5% per element (far below the score margins that
+            # drive view selection) and runs the S x S x C matmul on the
+            # int8 MXU with a quarter of the bank DMA
+            q_k = jnp.clip(jnp.round(q_k * 127.0), -127, 127).astype(jnp.int8)
+            t_k = jnp.clip(jnp.round(t_k * 127.0), -127, 127).astype(jnp.int8)
+        sim_avg = match_scores_pallas(q_k, qm.reshape(B, S), t_k)
         return jax.lax.top_k(sim_avg, topk)
 
     pad = (-N) % view_chunk

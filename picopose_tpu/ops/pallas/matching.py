@@ -26,15 +26,27 @@ def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
     to the first index), and the aligned-index product of a column-space
     vector with row-space vectors collapses through a (1, S) x (S, 1) dot —
     everything stays 2-D and MXU/VPU-shaped.
+
+    int8 inputs take the quantized path: the cosine matmul runs on the
+    int8 MXU (2x the bf16 rate, 4x the fp32 HBM footprint saving) and the
+    int32 products are rescaled by 127^-2; normalized features live in
+    [-1, 1] so the symmetric 127 scale is exact at the range ends.
     """
-    q = q_ref[0].astype(jnp.float32)         # (S, C) normalized query
-    t = t_ref[0].astype(jnp.float32)         # (S, C) normalized template view
     qm_col = qm_ref[0].astype(jnp.float32)   # (S, 1) query-patch mask
 
-    sim = jax.lax.dot_general(
-        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (S_query, S_template)
+    if q_ref.dtype == jnp.int8:
+        sim = jax.lax.dot_general(
+            q_ref[0], t_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * jnp.float32(1.0 / (127.0 * 127.0))
+    else:
+        q = q_ref[0].astype(jnp.float32)     # (S, C) normalized query
+        t = t_ref[0].astype(jnp.float32)     # (S, C) normalized template view
+        sim = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S_query, S_template)
     sim = sim * qm_col
 
     rowmax = sim.max(axis=1, keepdims=True)           # (S, 1) score_t2s

@@ -85,6 +85,59 @@ def _inv3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
+def _det3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form determinant of (..., 3, 3) — jnp.linalg.det lowers to an
+    LU custom call on TPU, which neither fuses nor vectorizes well inside
+    the 12k-hypothesis vmap."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _cholesky_small(A: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled Cholesky for small static n (<= 12 here).
+
+    Pure jnp ops (static slices + elementwise), so it fuses into the
+    surrounding program instead of hitting the TPU linalg custom call per
+    vmapped instance — those custom calls were ~20 ms/batch of the whole
+    pipeline.  NaN-propagation on non-SPD inputs is preserved (sqrt of a
+    negative pivot), which the degenerate-sample detection relies on.
+    """
+    n = A.shape[-1]
+    cols = []
+    for j in range(n):
+        # a_j column below the diagonal, minus already-computed L columns
+        s = A[..., j:, j]
+        for k in range(j):
+            # L[j:, k] * L[j, k]: cols[k][m] holds L[k+m, k]
+            s = s - cols[k][..., j - k:] * cols[k][..., j - k:j - k + 1]
+        d = jnp.sqrt(s[..., :1])
+        cols.append(jnp.concatenate([d, s[..., 1:] / d], axis=-1))
+    L = jnp.zeros_like(A)
+    for j, c in enumerate(cols):
+        L = L.at[..., j:, j].set(c)
+    return L
+
+
+def _cho_solve_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b by unrolled forward/back substitution."""
+    n = L.shape[-1]
+    y = []
+    for i in range(n):
+        acc = b[..., i]
+        for k in range(i):
+            acc = acc - L[..., i, k] * y[k]
+        y.append(acc / L[..., i, i])
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[..., k, i] * x[k]
+        x[i] = acc / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
 def _normalize_points(pts: jnp.ndarray, w: jnp.ndarray, dim: int):
     """Hartley normalization: zero-centroid, mean norm sqrt(dim)."""
     wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-6)
@@ -115,11 +168,11 @@ def _weighted_dlt(pts3d, uv, w):
     # cheaper on TPU than the Jacobi eigh this replaces (eigh dominated the
     # whole RANSAC stage when vmapped over batch x 150 hypotheses).
     shift = 1e-7 * jnp.trace(AtA) / 12.0 + 1e-12
-    L = jnp.linalg.cholesky(AtA + shift * jnp.eye(12, dtype=AtA.dtype))
+    L = _cholesky_small(AtA + shift * jnp.eye(12, dtype=AtA.dtype))
     x = jnp.ones((12,), AtA.dtype)
 
     def inv_iter(_, x):
-        y = jax.scipy.linalg.cho_solve((L, True), x)
+        y = _cho_solve_small(L, x)
         return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
 
     p = jax.lax.fori_loop(0, 3, inv_iter, x / jnp.sqrt(12.0))
@@ -141,7 +194,7 @@ def _weighted_dlt(pts3d, uv, w):
 
     M = P[:, :3]
     # sign: make det(M) positive
-    sign = jnp.sign(jnp.linalg.det(M))
+    sign = jnp.sign(_det3(M))
     sign = jnp.where(sign == 0, 1.0, sign)
     P = P * sign
     M = P[:, :3]
@@ -150,13 +203,13 @@ def _weighted_dlt(pts3d, uv, w):
     # the iteration ~28 ms).  det(M) > 0 here, so the polar factor is the
     # nearest rotation; the isotropic DLT scale is then trace(R^T M) / 3
     # (== mean singular value, since R^T M is the SPD polar stretch).
-    det = jnp.maximum(jnp.linalg.det(M), 1e-20)
+    det = jnp.maximum(_det3(M), 1e-20)
     Xp = M / jnp.cbrt(det)
 
     def polar_step(_, Xc):
         # determinant-scaled Newton: quadratic convergence even for the
         # ill-conditioned matrices degenerate RANSAC samples produce
-        g = 1.0 / jnp.cbrt(jnp.abs(jnp.linalg.det(Xc)) + 1e-20)
+        g = 1.0 / jnp.cbrt(jnp.abs(_det3(Xc)) + 1e-20)
         return 0.5 * (g * Xc + jnp.swapaxes(_inv3(Xc), -1, -2) / g)
 
     R = jax.lax.fori_loop(0, 7, polar_step, Xp)
@@ -210,8 +263,8 @@ def _gauss_newton(pts3d, uv, w, R, t, iters: int):
         Jtr = _EINSUM("ni,n->i", Ju, r[..., 0]) + _EINSUM(
             "ni,n->i", Jv, r[..., 1]
         )
-        Lc = jnp.linalg.cholesky(JtJ)
-        delta = -jax.scipy.linalg.cho_solve((Lc, True), Jtr)
+        Lc = _cholesky_small(JtJ)
+        delta = -_cho_solve_small(Lc, Jtr)
         nu, omega = delta[:3], delta[3:]
         dR = _exp_so3(omega)
         R_new = _EINSUM("ij,jk->ik", dR, R)
@@ -230,7 +283,7 @@ def _ransac_pnp_single(
     w = valid.astype(jnp.float32)
     n_valid = w.sum()
 
-    Kinv = jnp.linalg.inv(K)
+    Kinv = _inv3(K)
     ph = jnp.concatenate([pts2d_px, jnp.ones((N, 1), pts2d_px.dtype)], -1)
     uv = _EINSUM("ij,nj->ni", Kinv, ph)[:, :2]  # normalized coords
 
