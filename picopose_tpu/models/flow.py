@@ -66,7 +66,11 @@ class XHead(nn.Module):
         x = _conv_relu(x, 512, 3, 1, "layers_0")
         x = _conv_relu(x, 256, 3, 1, "layers_1")
         k = 3 if self.kind == "flow" else 1
-        return nn.Conv(self.out_ch, (k, k), padding=k // 2, name="predict")(x)
+        # dtype again: an fp32-promoted 1/2-channel predict conv costs ~4 ms
+        # per level in the device trace purely from the fp32 layout
+        return nn.Conv(
+            self.out_ch, (k, k), padding=k // 2, name="predict", dtype=x.dtype
+        )(x)
 
 
 class FlowDecoder(nn.Module):

@@ -97,8 +97,16 @@ def _window_kernel(
     out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
-def _pick_tile(P: int) -> int:
-    tp = min(P, 256)
+def _pick_tile(P: int, Q: int) -> int:
+    """Pixel-tile size: as large as the fp32 correlation block (TP x Q)
+    allows within ~6 MB of VMEM, at least 256.  Small pyramid levels were
+    program-count-bound (the Q=256 level cost almost as much as the Q=1024
+    one at a fixed 256-pixel tile)."""
+    budget = max(256, (6 * 1024 * 1024) // (Q * 4))
+    tp = 256
+    while tp * 2 <= min(P, budget, 2048):
+        tp *= 2
+    tp = min(tp, P)
     while P % tp:
         tp //= 2
     return tp
@@ -120,7 +128,7 @@ def corr_window_pallas(
     B, P, C = f1.shape
     Q = f2.shape[1]
     n = 2 * radius + 1
-    TP = _pick_tile(P)
+    TP = _pick_tile(P, Q)
     kernel = functools.partial(
         _window_kernel, Hp=Hp, Wp=Wp, radius=radius, scale=float(C) ** -0.5
     )

@@ -1,0 +1,101 @@
+"""Bilinear feature warp as a dense one-hot matmul kernel.
+
+warp_by_flow's XLA formulation gathers 4 feature rows per output pixel
+(ops/sample.py): at stage-3 shapes that is 4 x ~4.5 ms of HBM gather per
+decoder level in the device trace.  Gathers are the one thing the TPU
+memory system does badly, and the same linearity trick as the correlation
+kernel applies: the bilinear sample is a (P, Q) one-hot-pair matrix W
+applied to the (Q, C) feature map, so per pixel tile we build W's block
+with iota compares on the VPU and evaluate the sample as ONE MXU matmul —
+no gathers, grid_sample zeros padding for free (out-of-range taps match
+no lane index).
+
+Forward-only; ops/sample.py wraps it in a custom VJP that rematerializes
+through the XLA gather path (same pattern as ops/corr.py — opaque Pallas
+forwards break TPU training, docs/PERF.md round-1 note).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _warp_kernel(f2_ref, cen_ref, out_ref, *, Hp: int, Wp: int):
+    f2 = f2_ref[0]  # (Q, C)
+    cen = cen_ref[0].astype(jnp.float32)  # (TP, 2): (x, y) sample points
+    TP = cen.shape[0]
+    Q = f2.shape[0]
+
+    cx, cy = cen[:, 0:1], cen[:, 1:2]
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx, fy = cx - x0f, cy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (TP, Q), 1)
+    yq = iota_q // Wp
+    xq = iota_q - yq * Wp
+    wy = (yq == y0) * (1.0 - fy) + (yq == y0 + 1) * fy
+    wx = (xq == x0) * (1.0 - fx) + (xq == x0 + 1) * fx
+    w = (wy * wx).astype(f2.dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST if f2.dtype == jnp.float32 else None
+    )
+    out = jax.lax.dot_general(
+        w, f2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _pick_tile(P: int, Q: int) -> int:
+    budget = max(256, (6 * 1024 * 1024) // (Q * 4))
+    tp = 256
+    while tp * 2 <= min(P, budget, 2048):
+        tp *= 2
+    tp = min(tp, P)
+    while P % tp:
+        tp //= 2
+    return tp
+
+
+@functools.partial(jax.jit, static_argnames=("Hp", "Wp", "interpret"))
+def warp_pallas(
+    feat: jnp.ndarray,  # (B, Q, C) source features, Q = Hp*Wp row-major
+    cen: jnp.ndarray,   # (B, P, 2) sample coordinates (x, y) in pixels
+    Hp: int,
+    Wp: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilinear sample at `cen` with zeros padding: (B, P, C)."""
+    B, Q, C = feat.shape
+    P = cen.shape[1]
+    TP = _pick_tile(P, Q)
+    kernel = functools.partial(_warp_kernel, Hp=Hp, Wp=Wp)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, P // TP),
+        in_specs=[
+            pl.BlockSpec((1, Q, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP, 2), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TP, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, C), feat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * P * Q * C,
+            bytes_accessed=2 * B * Q * C * feat.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(feat, cen)

@@ -18,6 +18,7 @@ F.grid_sample in tests/test_sample.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from picopose_tpu.geom.grids import pixel_coords_grid
@@ -58,11 +59,56 @@ def bilinear_sample(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy)[..., None] + bot * wy[..., None]
 
 
-def warp_by_flow(feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp NHWC `feat` by (B, H, W, 2) flow: out[p] = feat[p + flow[p]].
-
-    Equivalent of FlowDecoder.feature_sample (model/stage3/flow_decoder.py:
-    49-56): identity grid plus flow, bilinear, zeros padding."""
+def _warp_by_flow_xla(feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     B, H, W, _ = flow.shape
     grid = pixel_coords_grid(H, W, dtype=flow.dtype) + flow
     return bilinear_sample(feat, grid)
+
+
+def _warp_by_flow_pallas_impl(feat, flow):
+    from picopose_tpu.ops.pallas.warp import warp_pallas
+
+    B, H, W, C = feat.shape
+    grid = pixel_coords_grid(H, W, dtype=flow.dtype) + flow
+    out = warp_pallas(
+        feat.reshape(B, H * W, C), grid.reshape(B, H * W, 2), H, W
+    )
+    return out.reshape(B, H, W, C)
+
+
+@jax.custom_vjp
+def _warp_by_flow_pallas(feat, flow):
+    return _warp_by_flow_pallas_impl(feat, flow)
+
+
+def _warp_fwd(feat, flow):
+    return _warp_by_flow_pallas_impl(feat, flow), (feat, flow)
+
+
+def _warp_bwd(res, g):
+    # rematerialized backward through the differentiable gather path (the
+    # Pallas forward is opaque to autodiff; pattern of ops/corr.py)
+    feat, flow = res
+    _, vjp = jax.vjp(_warp_by_flow_xla, feat, flow)
+    return vjp(g)
+
+
+_warp_by_flow_pallas.defvjp(_warp_fwd, _warp_bwd)
+
+
+def warp_by_flow(
+    feat: jnp.ndarray, flow: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Warp NHWC `feat` by (B, H, W, 2) flow: out[p] = feat[p + flow[p]].
+
+    Equivalent of FlowDecoder.feature_sample (model/stage3/flow_decoder.py:
+    49-56): identity grid plus flow, bilinear, zeros padding.  On TPU the
+    sample runs as a dense one-hot matmul kernel (ops/pallas/warp.py — HBM
+    gathers measured ~2x slower); elsewhere as gather+lerp."""
+    import jax as _jax
+
+    if impl == "pallas" or (
+        impl == "auto" and _jax.devices()[0].platform == "tpu"
+    ):
+        return _warp_by_flow_pallas(feat, flow)
+    return _warp_by_flow_xla(feat, flow)
