@@ -150,13 +150,10 @@ def run_batch(
         tem_pyr = model.apply(
             variables, [_take(f, ids3) for f in bank.feats], method=model.dpt
         )
+    # query pyramids stay at B: the flow decoder detects the k3-fold
+    # hypothesis grouping from the batch ratio and its lookup/warp kernels
+    # index the shared maps directly — no tiled HBM copy
     real_pyr = model.apply(variables, feats_real, method=model.dpt)
-
-    def tile3(x):
-        reps = (1, k3) + (1,) * (x.ndim - 1)
-        return jnp.tile(x[:, None], reps).reshape(BH3, *x.shape[1:])
-
-    real_pyr = [tile3(p) for p in real_pyr]
     flows, certs = model.apply(
         variables, tem_pyr, real_pyr, init_flow, init_cert,
         method=model.flow,

@@ -88,8 +88,15 @@ class FlowDecoder(nn.Module):
     ):
         """tem/real_feats: DPT outputs [(B,16,16,256), (B,32,32,256),
         (B,64,64,256)]; init flow/certainty at 16^2.  Returns per-level lists
-        of flows (B,H,W,2) and certainty logits (B,H,W,1)."""
+        of flows (B,H,W,2) and certainty logits (B,H,W,1).
+
+        real_feats may carry B // group entries for integer group (the eval
+        pipeline folds hypotheses into the template batch axis while the
+        query-image features are shared): the real-side projection runs at
+        the smaller batch and the lookup/warp kernels index it b // group —
+        the tiled copy never materializes."""
         lookup_radius = self.radius // 2
+        group = tem_feats[0].shape[0] // real_feats[0].shape[0]
         flow, certainty = init_flow, init_certainty
         pred_flow, pred_certainty = [], []
         for level in range(self.num_levels):
@@ -105,13 +112,15 @@ class FlowDecoder(nn.Module):
             )
             ft = proj_bn(proj_conv(tem_feats[level]))
             fr = proj_bn(proj_conv(real_feats[level]))
-            corr = corr_lookup(ft, fr, flow, lookup_radius, level + 1)
+            corr = corr_lookup(
+                ft, fr, flow, lookup_radius, level + 1, group=group
+            )
             # keep the conv stacks in the feature compute dtype (bf16 on TPU);
             # flow itself stays fp32 through the residual adds below
             motion = MotionEncoder(name=f"encoder_{level}")(
                 corr.astype(ft.dtype), flow.astype(ft.dtype)
             )
-            fr_hat = warp_by_flow(fr, flow)
+            fr_hat = warp_by_flow(fr, flow, group=group)
             x = jnp.concatenate([ft, fr_hat, motion], axis=-1)
             flow = flow + XHead(2, "flow", name=f"flow_pred_{level}")(x)
             certainty = certainty + XHead(1, "mask", name=f"mask_pred_{level}")(x)

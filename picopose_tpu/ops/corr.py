@@ -94,6 +94,7 @@ def _corr_lookup_xla(
     flow: jnp.ndarray,
     radius: int,
     num_levels: int,
+    group: int = 1,
 ) -> jnp.ndarray:
     """Windowed correlation lookup, TPU-shaped (gather-free).
 
@@ -121,6 +122,8 @@ def _corr_lookup_xla(
     The query-pixel axis is processed in lax.map chunks so the per-chunk
     correlation slab stays ~100 MB.
     """
+    if group > 1:  # expand the shared sampled side (see corr_lookup)
+        feat2 = jnp.repeat(feat2, group, axis=0)
     B, H, W, C = feat1.shape
     P = H * W
     n = 2 * radius + 1
@@ -192,7 +195,7 @@ def _corr_lookup_xla(
     return jnp.concatenate(outs, axis=-1)
 
 
-def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels):
+def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels, group=1):
     """Fused-kernel lookup: pooling in XLA, one Pallas call per level.
 
     Numerically equivalent to _corr_lookup_xla up to fp32-vs-bf16 window
@@ -202,6 +205,7 @@ def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels):
     from picopose_tpu.ops.pallas.corr import corr_window_pallas
 
     B, H, W, C = feat1.shape
+    B2 = feat2.shape[0]
     P = H * W
     n = 2 * radius + 1
     grid = pixel_coords_grid(H, W, flow.dtype) + flow
@@ -214,30 +218,35 @@ def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels):
         Hp, Wp = pooled.shape[1], pooled.shape[2]
         cen = (grid / (2.0 ** i)).reshape(B, P, 2)
         win = corr_window_pallas(
-            f1, pooled.reshape(B, Hp * Wp, C), cen, Hp, Wp, radius
+            f1, pooled.reshape(B2, Hp * Wp, C), cen, Hp, Wp, radius,
+            group=group,
         )
         outs.append(win.reshape(B, H, W, n * n))
     return jnp.concatenate(outs, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _corr_lookup_pallas(feat1, feat2, flow, radius, num_levels):
-    return _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _corr_lookup_pallas(feat1, feat2, flow, radius, num_levels, group=1):
+    return _corr_lookup_pallas_impl(
+        feat1, feat2, flow, radius, num_levels, group
+    )
 
 
-def _corr_lookup_pallas_fwd(feat1, feat2, flow, radius, num_levels):
-    out = _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels)
+def _corr_lookup_pallas_fwd(feat1, feat2, flow, radius, num_levels, group):
+    out = _corr_lookup_pallas_impl(
+        feat1, feat2, flow, radius, num_levels, group
+    )
     return out, (feat1, feat2, flow)
 
 
-def _corr_lookup_pallas_bwd(radius, num_levels, res, g):
+def _corr_lookup_pallas_bwd(radius, num_levels, group, res, g):
     # Rematerialized backward through the differentiable XLA formulation
     # (the Pallas forward is opaque to autodiff; same pattern as
     # ops/attention.py — an undifferentiable kernel broke TPU training in
     # round 1, docs/PERF.md).
     feat1, feat2, flow = res
     _, vjp = jax.vjp(
-        lambda a, b, c: _corr_lookup_xla(a, b, c, radius, num_levels),
+        lambda a, b, c: _corr_lookup_xla(a, b, c, radius, num_levels, group),
         feat1, feat2, flow,
     )
     return vjp(g)
@@ -253,12 +262,18 @@ def corr_lookup(
     radius: int,
     num_levels: int,
     impl: str | None = None,
+    group: int = 1,
 ) -> jnp.ndarray:
     """Windowed correlation lookup — fused Pallas kernel on TPU, XLA
     one-hot contraction elsewhere.  See _corr_lookup_xla for the shared
     semantics and the formulation benchmarks; ops/pallas/corr.py for the
     kernel.  impl: 'auto' | 'pallas' | 'xla' (default: $PICOPOSE_CORR_IMPL
-    or 'auto' — the env hook exists for A/B profiling)."""
+    or 'auto' — the env hook exists for A/B profiling).
+
+    group: feat2 may carry feat1.shape[0] // group entries, each shared by
+    `group` consecutive feat1 streams (hypotheses folded into the batch
+    axis share the query-image features) — the kernel indexes it directly,
+    the XLA path expands it."""
     if impl is None:
         import os
 
@@ -266,5 +281,7 @@ def corr_lookup(
     if impl == "pallas" or (
         impl == "auto" and jax.devices()[0].platform == "tpu"
     ):
-        return _corr_lookup_pallas(feat1, feat2, flow, radius, num_levels)
-    return _corr_lookup_xla(feat1, feat2, flow, radius, num_levels)
+        return _corr_lookup_pallas(
+            feat1, feat2, flow, radius, num_levels, group
+        )
+    return _corr_lookup_xla(feat1, feat2, flow, radius, num_levels, group)

@@ -113,18 +113,25 @@ def _pick_tile(P: int, Q: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Hp", "Wp", "radius", "interpret")
+    jax.jit, static_argnames=("Hp", "Wp", "radius", "group", "interpret")
 )
 def corr_window_pallas(
     f1: jnp.ndarray,   # (B, P, C) query-side features
-    f2: jnp.ndarray,   # (B, Q, C) pooled sampled-side features, Q = Hp*Wp
+    f2: jnp.ndarray,   # (B/group, Q, C) pooled sampled-side features
     cen: jnp.ndarray,  # (B, P, 2) window centers in this level's cells (x, y)
     Hp: int,
     Wp: int,
     radius: int,
+    group: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Windowed correlation for ONE pyramid level: (B, P, (2r+1)^2)."""
+    """Windowed correlation for ONE pyramid level: (B, P, (2r+1)^2).
+
+    group > 1: consecutive groups of `group` f1 streams share one f2 map
+    (the eval pipeline folds hypotheses into the batch axis while the
+    query-image features are common to all hypotheses of an instance) —
+    the kernel just indexes f2 at b // group, so the tiled copy never
+    exists in HBM."""
     B, P, C = f1.shape
     Q = f2.shape[1]
     n = 2 * radius + 1
@@ -138,7 +145,7 @@ def corr_window_pallas(
         in_specs=[
             pl.BlockSpec((1, TP, C), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Q, C), lambda b, t, group=group: (b // group, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TP, 2), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),

@@ -64,24 +64,31 @@ def _pick_tile(P: int, Q: int) -> int:
     return tp
 
 
-@functools.partial(jax.jit, static_argnames=("Hp", "Wp", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("Hp", "Wp", "group", "interpret")
+)
 def warp_pallas(
-    feat: jnp.ndarray,  # (B, Q, C) source features, Q = Hp*Wp row-major
+    feat: jnp.ndarray,  # (B/group, Q, C) source features, Q = Hp*Wp
     cen: jnp.ndarray,   # (B, P, 2) sample coordinates (x, y) in pixels
     Hp: int,
     Wp: int,
+    group: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Bilinear sample at `cen` with zeros padding: (B, P, C)."""
-    B, Q, C = feat.shape
-    P = cen.shape[1]
+    """Bilinear sample at `cen` with zeros padding: (B, P, C).
+
+    group > 1: consecutive groups of `group` coordinate streams share one
+    source map (hypotheses folded into the batch axis) — f2 indexed at
+    b // group, no tiled copy in HBM."""
+    Q, C = feat.shape[1], feat.shape[2]
+    B, P = cen.shape[0], cen.shape[1]
     TP = _pick_tile(P, Q)
     kernel = functools.partial(_warp_kernel, Hp=Hp, Wp=Wp)
     return pl.pallas_call(
         kernel,
         grid=(B, P // TP),
         in_specs=[
-            pl.BlockSpec((1, Q, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Q, C), lambda b, t, group=group: (b // group, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TP, 2), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),

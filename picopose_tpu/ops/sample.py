@@ -18,6 +18,8 @@ F.grid_sample in tests/test_sample.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -59,37 +61,45 @@ def bilinear_sample(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - wy)[..., None] + bot * wy[..., None]
 
 
-def _warp_by_flow_xla(feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def _warp_by_flow_xla(
+    feat: jnp.ndarray, flow: jnp.ndarray, group: int = 1
+) -> jnp.ndarray:
+    if group > 1:
+        feat = jnp.repeat(feat, group, axis=0)
     B, H, W, _ = flow.shape
     grid = pixel_coords_grid(H, W, dtype=flow.dtype) + flow
     return bilinear_sample(feat, grid)
 
 
-def _warp_by_flow_pallas_impl(feat, flow):
+def _warp_by_flow_pallas_impl(feat, flow, group=1):
     from picopose_tpu.ops.pallas.warp import warp_pallas
 
-    B, H, W, C = feat.shape
+    B2, H, W, C = feat.shape
+    B = flow.shape[0]
     grid = pixel_coords_grid(H, W, dtype=flow.dtype) + flow
     out = warp_pallas(
-        feat.reshape(B, H * W, C), grid.reshape(B, H * W, 2), H, W
+        feat.reshape(B2, H * W, C), grid.reshape(B, H * W, 2), H, W,
+        group=group,
     )
     return out.reshape(B, H, W, C)
 
 
-@jax.custom_vjp
-def _warp_by_flow_pallas(feat, flow):
-    return _warp_by_flow_pallas_impl(feat, flow)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_by_flow_pallas(feat, flow, group=1):
+    return _warp_by_flow_pallas_impl(feat, flow, group)
 
 
-def _warp_fwd(feat, flow):
-    return _warp_by_flow_pallas_impl(feat, flow), (feat, flow)
+def _warp_fwd(feat, flow, group):
+    return _warp_by_flow_pallas_impl(feat, flow, group), (feat, flow)
 
 
-def _warp_bwd(res, g):
+def _warp_bwd(group, res, g):
     # rematerialized backward through the differentiable gather path (the
     # Pallas forward is opaque to autodiff; pattern of ops/corr.py)
     feat, flow = res
-    _, vjp = jax.vjp(_warp_by_flow_xla, feat, flow)
+    _, vjp = jax.vjp(
+        lambda a, b: _warp_by_flow_xla(a, b, group), feat, flow
+    )
     return vjp(g)
 
 
@@ -97,18 +107,21 @@ _warp_by_flow_pallas.defvjp(_warp_fwd, _warp_bwd)
 
 
 def warp_by_flow(
-    feat: jnp.ndarray, flow: jnp.ndarray, impl: str = "auto"
+    feat: jnp.ndarray, flow: jnp.ndarray, impl: str = "auto", group: int = 1
 ) -> jnp.ndarray:
     """Warp NHWC `feat` by (B, H, W, 2) flow: out[p] = feat[p + flow[p]].
 
     Equivalent of FlowDecoder.feature_sample (model/stage3/flow_decoder.py:
     49-56): identity grid plus flow, bilinear, zeros padding.  On TPU the
     sample runs as a dense one-hot matmul kernel (ops/pallas/warp.py — HBM
-    gathers measured ~2x slower); elsewhere as gather+lerp."""
+    gathers measured ~2x slower); elsewhere as gather+lerp.
+
+    group: feat may carry flow.shape[0] // group maps, each shared by
+    `group` consecutive flow streams (folded hypotheses)."""
     import jax as _jax
 
     if impl == "pallas" or (
         impl == "auto" and _jax.devices()[0].platform == "tpu"
     ):
-        return _warp_by_flow_pallas(feat, flow)
-    return _warp_by_flow_xla(feat, flow)
+        return _warp_by_flow_pallas(feat, flow, group)
+    return _warp_by_flow_xla(feat, flow, group)

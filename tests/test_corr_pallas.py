@@ -96,6 +96,43 @@ def test_custom_vjp_matches_xla_grads(rng):
     ref = jax.vjp(
         lambda a, b, c: _corr_lookup_xla(a, b, c, r, L), f1, f2, fl
     )[1](gout)
-    ours = _corr_lookup_pallas_bwd(r, L, (f1, f2, fl), gout)
+    ours = _corr_lookup_pallas_bwd(r, L, 1, (f1, f2, fl), gout)
     for a, b in zip(ours, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_group_shared_feat2_matches_tiled(rng):
+    """group=k with B/k feat2 maps must equal tiling feat2 k-fold."""
+    B2, k, g, C, r, L = 2, 3, 16, 32, 2, 2
+    B = B2 * k
+    f1 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(B2, g, g, C)).astype(np.float32))
+    fl = jnp.asarray((rng.normal(size=(B, g, g, 2)) * 2).astype(np.float32))
+    f2_tiled = jnp.repeat(f2, k, axis=0)
+    ref = _corr_lookup_xla(f1, f2_tiled, fl, r, L)
+    # xla path with group
+    got_x = _corr_lookup_xla(f1, f2, fl, r, L, group=k)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(ref))
+    # pallas kernel with group (interpret)
+    from picopose_tpu.ops.resize import avg_pool2d as _pool
+
+    P = g * g
+    n = 2 * r + 1
+    grid = pixel_coords_grid(g, g, fl.dtype) + fl
+    outs = []
+    pooled = f2
+    for i in range(L):
+        if i > 0:
+            pooled = _pool(pooled, 2)
+        Hp, Wp = pooled.shape[1], pooled.shape[2]
+        cen = (grid / (2.0 ** i)).reshape(B, P, 2)
+        outs.append(
+            corr_window_pallas(
+                f1.reshape(B, P, C), pooled.reshape(B2, Hp * Wp, C), cen,
+                Hp, Wp, r, group=k, interpret=True,
+            ).reshape(B, g, g, n * n)
+        )
+    got_p = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(got_p), np.asarray(ref), atol=2e-4, rtol=1e-4
+    )

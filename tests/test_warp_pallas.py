@@ -44,6 +44,24 @@ def test_custom_vjp_matches_xla_grads(rng):
     flow = jnp.asarray((rng.normal(size=(B, g, g, 2)) * 2).astype(np.float32))
     gout = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
     ref = jax.vjp(_warp_by_flow_xla, feat, flow)[1](gout)
-    ours = _warp_bwd((feat, flow), gout)
+    ours = _warp_bwd(1, (feat, flow), gout)
     for a, b in zip(ours, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_group_shared_feat_matches_tiled(rng):
+    B2, k, g, C = 2, 3, 16, 32
+    B = B2 * k
+    feat = jnp.asarray(rng.normal(size=(B2, g, g, C)).astype(np.float32))
+    flow = jnp.asarray((rng.normal(size=(B, g, g, 2)) * 3).astype(np.float32))
+    ref = _warp_by_flow_xla(jnp.repeat(feat, k, axis=0), flow)
+    got_x = _warp_by_flow_xla(feat, flow, group=k)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(ref))
+    from picopose_tpu.ops.pallas.warp import warp_pallas as _wp
+
+    grid = pixel_coords_grid(g, g, dtype=flow.dtype) + flow
+    got_p = _wp(
+        feat.reshape(B2, g * g, C), grid.reshape(B, g * g, 2), g, g,
+        group=k, interpret=True,
+    ).reshape(B, g, g, C)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref), atol=1e-4)
