@@ -69,15 +69,21 @@ def _window_kernel(
     y0 = y0f.astype(jnp.int32) - radius
 
     # --- y phase: select window row y0+j per pixel, sum equal-x lanes via
-    # the shared stride matrix S (both dense, no per-pixel operands on MXU)
+    # the shared stride matrix S (both dense, no per-pixel operands on MXU).
+    # VPU economy matters here (this masking is the kernel's bulk): cast
+    # corr to the matmul dtype ONCE and compute the per-pixel row distance
+    # ONCE, so each of the n+1 masked copies is a compare + select.
     yq = jax.lax.broadcasted_iota(jnp.int32, (TP, Q), 1) // Wp
+    rel = yq - y0  # (TP, Q): window-row index of each lane, per pixel
+    corr_m = corr.astype(mat_dt)
+    zero = jnp.zeros((), mat_dt)
     S = (
         jax.lax.broadcasted_iota(jnp.int32, (Q, Wp), 0) % Wp
         == jax.lax.broadcasted_iota(jnp.int32, (Q, Wp), 1)
     ).astype(mat_dt)
     R = []
     for j in range(n + 1):
-        masked = jnp.where(yq == y0 + j, corr, 0.0).astype(mat_dt)
+        masked = jnp.where(rel == j, corr_m, zero)
         R.append(
             jax.lax.dot_general(
                 masked, S, dimension_numbers=(((1,), (0,)), ((), ())),
