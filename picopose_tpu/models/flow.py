@@ -96,7 +96,14 @@ class FlowDecoder(nn.Module):
         the smaller batch and the lookup/warp kernels index it b // group —
         the tiled copy never materializes."""
         lookup_radius = self.radius // 2
-        group = tem_feats[0].shape[0] // real_feats[0].shape[0]
+        bt, br = tem_feats[0].shape[0], real_feats[0].shape[0]
+        if bt % br != 0:
+            raise ValueError(
+                f"template batch {bt} is not a multiple of query batch {br}; "
+                "the hypothesis-shared query features require an integer "
+                "group or the lookup/warp kernels would index the wrong map"
+            )
+        group = bt // br
         flow, certainty = init_flow, init_certainty
         pred_flow, pred_certainty = [], []
         for level in range(self.num_levels):

@@ -114,11 +114,15 @@ def match_templates(
         from picopose_tpu.ops.pallas.matching import match_scores_pallas
 
         q_k, t_k = q, t.reshape(N, S, C)
-        if os.environ.get("PICOPOSE_MATCH_INT8", "1") != "0":
-            # normalized features live in [-1, 1]: symmetric int8 at scale
-            # 127 costs <0.5% per element (far below the score margins that
-            # drive view selection) and runs the S x S x C matmul on the
-            # int8 MXU with a quarter of the bank DMA
+        if os.environ.get("PICOPOSE_MATCH_INT8", "0") == "1":
+            # OPT-IN (PICOPOSE_MATCH_INT8=1): normalized features live in
+            # [-1, 1]; symmetric int8 at scale 127 costs <0.5% per element
+            # and runs the S x S x C matmul on the int8 MXU with a quarter
+            # of the bank DMA.  Off by default: ~0.005 absolute score error
+            # can flip top-k view selection on near-ties vs the reference's
+            # fp32 cosine scores, and the A/B on real BOP data hasn't been
+            # run (matching is ~2 ms/batch device-side, so the win is DMA
+            # headroom, not time — docs/PARITY.md records the trade).
             q_k = jnp.clip(jnp.round(q_k * 127.0), -127, 127).astype(jnp.int8)
             t_k = jnp.clip(jnp.round(t_k * 127.0), -127, 127).astype(jnp.int8)
         sim_avg = match_scores_pallas(q_k, qm.reshape(B, S), t_k)

@@ -292,9 +292,10 @@ def _ransac_pnp_single(
     # iters*N gumbels per instance just to pick 6 indices.)  argsort(~valid)
     # is stable, so the first n_valid table entries are exactly the valid
     # indices; sampling WITH replacement can (rarely, ~C(6,2)/n_valid)
-    # produce a duplicate inside one minimal sample — the degenerate DLT
-    # then fails its finiteness check and scores -1, costing one of 150
-    # hypotheses, which RANSAC absorbs by construction.
+    # produce a duplicate inside one minimal sample — the rank-deficient
+    # DLT then usually still yields a finite (just bad) pose that scores
+    # few inliers and loses the ranking, costing one of 150 hypotheses,
+    # which RANSAC absorbs by construction.
     k_hyp, k_sub = jax.random.split(key)
     table = jnp.argsort(jnp.logical_not(valid))  # (N,) valid indices first
     nv = jnp.maximum(n_valid.astype(jnp.int32), 1)
@@ -303,12 +304,17 @@ def _ransac_pnp_single(
     # --- loose-phase scoring subset: ranking 150 hypotheses does not need
     # all N correspondences; a fixed random subset of valid points (shared
     # by every hypothesis of this instance, so the comparison stays fair)
-    # cuts the scoring volume 4x.  The polish/refit/final phases below
-    # still score strictly on ALL points — the returned pose and inlier
-    # ratio are subset-free.
+    # cuts the scoring volume 4x.  Drawn WITHOUT replacement (top-S random
+    # keys over the valid set) so no correspondence is double-counted and
+    # the effective sample really is min(S, n_valid) distinct points; when
+    # n_valid < S the tail indices are invalid and masked by valid_s.  The
+    # polish/refit/final phases below still score strictly on ALL points —
+    # the returned pose and inlier ratio are subset-free.
     S = min(score_subset, N)
-    sub = table[jax.random.randint(k_sub, (S,), 0, nv)]
+    keys_sub = jnp.where(valid, jax.random.uniform(k_sub, (N,)), -jnp.inf)
+    _, sub = jax.lax.top_k(keys_sub, S)
     pts3d_s, pts2d_s, valid_s = pts3d[sub], pts2d_px[sub], valid[sub]
+    nv_s = jnp.maximum(valid_s.sum(), 1.0)  # = min(S, n_valid) distinct pts
 
     # A minimal DLT is too noise-sensitive under weak perspective (small
     # object, long focal): its hypotheses need a few Gauss-Newton steps on
@@ -357,7 +363,10 @@ def _ransac_pnp_single(
     # --- refit on best inliers (weighted DLT + Gauss-Newton, subset)
     err2 = _reproj_err2_px(pts3d_s, pts2d_s, K, R0, t0)
     inl_w = ((err2 < reproj_px**2) & valid_s).astype(jnp.float32)
-    enough = inl_w.sum() >= min_points
+    # min_points is calibrated for full-N inlier counts; the subset sees a
+    # nv_s/n_valid fraction of the valid points, so scale the gate to the
+    # same inlier RATIO instead of comparing an absolute subset count
+    enough = inl_w.sum() * n_valid >= min_points * nv_s
     refit_w = jnp.where(enough, inl_w, valid_s.astype(jnp.float32))
     R1, t1, ok1 = _weighted_dlt(pts3d_s, uv_s, refit_w)
     # keep the better of (minimal, refit) before GN
