@@ -8,6 +8,12 @@ work the reference does per instance in run_test.py:141-186, minus host I/O.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+"value" is the pipelined steady-state throughput (dispatch one batch ahead
+of the result fetches — eval/runner.py's serving pattern); the JSON also
+carries the per-batch-synced p50 LATENCY and its derived rate, plus the
+RTT-free summed device-op time from a profiler trace, so latency and
+throughput stay separately auditable.
+
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 REF_CROPS_PER_SEC below is an estimate of the reference's single-GPU
 per-crop rate, now BOUNDED two ways by tools/ref_baseline.py:
@@ -133,6 +139,29 @@ def main(
         lat.append(time.perf_counter() - ti)
     dt = time.perf_counter() - t0
 
+    # Steady-state pipelined throughput: dispatch runs ONE batch ahead of
+    # the result fetches (exactly eval/runner.py's software pipeline), so
+    # the host fetch of batch i-1 overlaps the device executing batch i.
+    # This is the number a serving loop sees; the per-batch-synced p50
+    # above is the LATENCY number.  Unique inputs per iteration as before
+    # (offset range disjoint from the latency loop's).
+    acc_pipe = 0.0
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(iters):
+        b = dict(batch_data)
+        b["real_rgb"] = batch_data["real_rgb"] + jnp.float32(
+            0.5 + (i + 1) * 1e-6
+        )
+        out = run_batch_jit(
+            model, variables, b, bank, jax.random.PRNGKey(1000 + i), hyp=hyp
+        )
+        if prev is not None:
+            acc_pipe += float(prev.inlier_ratio.sum())
+        prev = out
+    acc_pipe += float(prev.inlier_ratio.sum())
+    dt_pipe = time.perf_counter() - t0
+
     # device-op time from a profiler trace: the tunnel development setup
     # adds tens of ms of RTT per host fetch, so wall p50 OVERSTATES batch
     # latency; the summed XLA-op device time is the RTT-free number a
@@ -176,12 +205,15 @@ def main(
 
     n_chips = max(1, len(jax.devices()))
     p50_ms = sorted(lat)[len(lat) // 2] * 1000.0
-    # steady-state throughput from the median batch latency — the mean is
-    # polluted by the development tunnel's round-trip stragglers; on directly
-    # attached hardware the two agree.
-    crops_per_sec = batch / (p50_ms / 1000.0) / n_chips
+    # latency-derived rate from the median per-batch-synced latency — the
+    # mean is polluted by the development tunnel's round-trip stragglers;
+    # on directly attached hardware the two agree.
+    latency_crops_per_sec = batch / (p50_ms / 1000.0) / n_chips
     crops_per_sec_mean = batch * iters / dt / n_chips
-    achieved_tflops = flops / (p50_ms / 1e3) / 1e12 if flops else 0.0
+    # headline = pipelined steady-state throughput (the serving number);
+    # one residual RTT amortizes over the whole run.
+    crops_per_sec = batch * iters / dt_pipe / n_chips
+    achieved_tflops = flops / (dt_pipe / iters) / 1e12 if flops else 0.0
     print(
         json.dumps(
             {
@@ -193,6 +225,7 @@ def main(
                     crops_per_sec / REF_GPU_UPPER_BOUND, 3
                 ),
                 "p50_batch_latency_ms": round(p50_ms, 2),
+                "latency_crops_per_sec": round(latency_crops_per_sec, 3),
                 "device_batch_ms": round(device_ms, 2),
                 "device_crops_per_sec": (
                     round(batch / (device_ms / 1e3), 3) if device_ms else 0.0

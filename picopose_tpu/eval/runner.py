@@ -207,25 +207,45 @@ def evaluate_dataset(
                 f"{time.perf_counter() - t0:.1f}s; {len(refs)} instances"
             )
 
-        for chunk, B, batch in stream:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if bsh is not None:
-                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            tb0 = time.perf_counter()
-            out = run_batch_jit(
-                model, variables, batch, bank, sub, hyp=hyp, pnp_iters=pnp_iters
-            )
+        def _drain(pending, mark):
+            """Fetch a dispatched batch's outputs and record its results.
+
+            dt is the steady-state inter-drain time (decode + dispatch +
+            device + fetch, overlapped), amortized over REAL instances —
+            padding is replicated work, not work the padded instances
+            would have cost."""
+            chunk, B, out = pending
             out = jax.tree.map(np.asarray, out)
-            dt = time.perf_counter() - tb0
+            now = time.perf_counter()
+            dt = now - mark
             for bi, (img_idx, inst_idx, _det) in enumerate(chunk):
                 results[(img_idx, inst_idx)] = {
                     "R": out.R[bi, 0], "t": out.t[bi, 0],
                     "inlier_ratio": out.inlier_ratio[bi, 0],
                 }
-                # amortize over REAL instances; padding is replicated work,
-                # not work the padded instances would have cost
                 image_model_time[img_idx] += dt / B
+            return now
+
+        # Software pipeline, depth 1: dispatch batch i, then fetch batch
+        # i-1 — the host round-trip of materializing the previous results
+        # overlaps the device executing the current batch (the reference
+        # gets the same overlap from CUDA async dispatch + DataLoader
+        # workers, run_test.py:141-159).
+        pending = None
+        mark = time.perf_counter()
+        for chunk, B, batch in stream:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if bsh is not None:
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            out = run_batch_jit(
+                model, variables, batch, bank, sub, hyp=hyp, pnp_iters=pnp_iters
+            )
+            if pending is not None:
+                mark = _drain(pending, mark)
+            pending = (chunk, B, out)
+        if pending is not None:
+            _drain(pending, mark)
         del bank
 
     if progress:

@@ -8,13 +8,27 @@ window as thousands of tiny batched (n, Hp) x (Hp, Wp) matmuls — MXU
 utilization a few percent.  This kernel keeps each pixel tile's whole
 correlation block in VMEM and reduces the window in three dense steps:
 
-  per program (stream b, pixel tile t):
+  per program (stream b, pixel tile t), per-row form (default):
     corr = f1_tile @ f2_level^T * C^-0.5          -- one MXU matmul
     R_j  = where(yq == y0+j, corr, 0) @ S          -- j = 0..2r+1
            with yq = lane//Wp and S[q, x] = (q mod Wp == x): masking picks
            window row y0+j per pixel, the SHARED 0/1 stride matrix S sums
            lanes with equal x — a per-pixel row-select expressed as a
            dense MXU matmul with no per-pixel matrices anywhere
+
+  packed form (packed=True, kept for A/B — measured SLOWER on v5e:
+  30.5 ms vs per-row's 24.5 ms per 3-level lookup at BH=80
+  (tools/micro_bench.py case_corr_ab); the M^2 unscramble selects cost
+  more VPU time than the single fused mask saves):
+    corr  = f1_tile @ f2_level^T * C^-0.5         -- one MXU matmul
+    corrw = where(0 <= yq-y0 < M, corr, 0)        -- ONE select, M = 2r+2
+    pack  = corrw @ S6                            -- ONE stride matmul,
+            S6[q, m*Wp+x] = (yq%M == m)&(xq == x): the M window rows are
+            consecutive hence distinct mod M, so one shared 0/1 matrix
+            separates them all; per pixel, row j lands in block (y0+j)%M
+    R_j   = pack[:, ((y0+j)%M)*Wp : +Wp]          -- M^2 selects on the
+            small (TP, Wp) side (Q/Wp x cheaper than masking (TP, Q))
+  both forms then finish identically:
     rows[ky] = (1-fy)*R_ky + fy*R_{ky+1}           -- bilinear in y
     win[kx*n+ky] = sum_x rows[ky] * ((1-fx)*[x==x0+kx] + fx*[x==x0+kx+1])
 
@@ -38,6 +52,81 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _window_kernel_packed(
+    f1_ref, f2_ref, cen_ref, s6_ref, out_ref, *, Hp: int, Wp: int,
+    radius: int, scale: float,
+):
+    """Packed variant: ONE masked copy + ONE stride matmul instead of n+1.
+
+    The window spans M = n+1 CONSECUTIVE rows y0..y0+n, which are pairwise
+    distinct mod M — so a shared (Q, M*Wp) stride matrix routing lane
+    (y, x) to output block (y mod M) separates all M window rows in a
+    single MXU matmul.  Per pixel, window row j then lives in block
+    (y0+j) mod M; the unscramble is M^2 selects on (TP, Wp) arrays —
+    Q/Wp times smaller than the (TP, Q) masking the per-row form pays.
+    Out-of-range rows are dropped by the in-window mask and no other
+    window row shares their block (distinct mod M), so missing taps stay
+    exactly zero (grid_sample padding_mode='zeros')."""
+    n = 2 * radius + 1
+    M = n + 1
+    f1 = f1_ref[0]  # (TP, C)
+    f2 = f2_ref[0]  # (Q, C)
+    fp32_in = f1.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if fp32_in else None
+    mat_dt = jnp.float32 if fp32_in else jnp.bfloat16
+
+    corr = jax.lax.dot_general(
+        f1, f2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale  # (TP, Q) fp32
+    Q = f2.shape[0]
+    TP = f1.shape[0]
+
+    cen = cen_ref[0].astype(jnp.float32)  # (TP, 2): (x, y) window centers
+    cx, cy = cen[:, 0:1], cen[:, 1:2]     # (TP, 1)
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx, fy = cx - x0f, cy - y0f
+    x0 = x0f.astype(jnp.int32) - radius   # (TP, 1) first tap per axis
+    y0 = y0f.astype(jnp.int32) - radius
+
+    # in-window mask: rel in [0, M) — one unsigned compare (negatives wrap
+    # to huge uint32) + one select over the big (TP, Q) block
+    yq = jax.lax.broadcasted_iota(jnp.int32, (TP, Q), 1) // Wp
+    rel = yq - y0
+    corr_w = jnp.where(
+        rel.astype(jnp.uint32) < jnp.uint32(M),
+        corr.astype(mat_dt),
+        jnp.zeros((), mat_dt),
+    )
+    packed = jax.lax.dot_general(
+        corr_w, s6_ref[...].astype(mat_dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (TP, M*Wp): block m holds sum of in-window rows with y % M == m
+
+    # unscramble block (y0+j) % M -> window row j, on (TP, Wp) arrays
+    blocks = [packed[:, m * Wp:(m + 1) * Wp] for m in range(M)]
+    zero_r = jnp.zeros((), jnp.float32)
+    R = []
+    for j in range(M):
+        sel = jnp.remainder(y0 + j, M)  # (TP, 1), floor mod >= 0
+        acc = jnp.where(sel == 0, blocks[0], zero_r)
+        for m in range(1, M):
+            acc = acc + jnp.where(sel == m, blocks[m], zero_r)
+        R.append(acc)
+    rows = [(1.0 - fy) * R[ky] + fy * R[ky + 1] for ky in range(n)]
+
+    # --- x phase: bilinear column weights + lane reductions
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (TP, Wp), 1)
+    ex = [(iota_x == x0 + j).astype(jnp.float32) for j in range(n + 1)]
+    cols = []
+    for kx in range(n):
+        xw = (1.0 - fx) * ex[kx] + fx * ex[kx + 1]
+        for ky in range(n):  # channel k = kx*n + ky (outer index walks x)
+            cols.append(jnp.sum(rows[ky] * xw, axis=1, keepdims=True))
+    out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
 def _window_kernel(
@@ -119,7 +208,8 @@ def _pick_tile(P: int, Q: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Hp", "Wp", "radius", "group", "interpret")
+    jax.jit,
+    static_argnames=("Hp", "Wp", "radius", "group", "interpret", "packed"),
 )
 def corr_window_pallas(
     f1: jnp.ndarray,   # (B, P, C) query-side features
@@ -130,6 +220,7 @@ def corr_window_pallas(
     radius: int,
     group: int = 1,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """Windowed correlation for ONE pyramid level: (B, P, (2r+1)^2).
 
@@ -142,20 +233,8 @@ def corr_window_pallas(
     Q = f2.shape[1]
     n = 2 * radius + 1
     TP = _pick_tile(P, Q)
-    kernel = functools.partial(
-        _window_kernel, Hp=Hp, Wp=Wp, radius=radius, scale=float(C) ** -0.5
-    )
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(B, P // TP),
-        in_specs=[
-            pl.BlockSpec((1, TP, C), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, C), lambda b, t, group=group: (b // group, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP, 2), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, TP, n * n), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, n * n), f1.dtype),
@@ -170,4 +249,38 @@ def corr_window_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(f1, f2, cen)
+    )
+    in_specs = [
+        pl.BlockSpec((1, TP, C), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, C), lambda b, t, group=group: (b // group, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TP, 2), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if packed:
+        M = n + 1
+        # shared (Q, M*Wp) stride matrix routing lane (y, x) to output
+        # block y % M, column x.  Constant per level; its BlockSpec index
+        # never changes so Pallas DMAs it into VMEM exactly once.
+        yq = jnp.arange(Q, dtype=jnp.int32)[:, None] // Wp
+        xq = jnp.arange(Q, dtype=jnp.int32)[:, None] % Wp
+        col = jnp.arange(M * Wp, dtype=jnp.int32)[None, :]
+        s6 = ((yq % M == col // Wp) & (xq == col % Wp)).astype(
+            jnp.float32 if f1.dtype == jnp.float32 else jnp.bfloat16
+        )
+        kernel = functools.partial(
+            _window_kernel_packed, Hp=Hp, Wp=Wp, radius=radius,
+            scale=float(C) ** -0.5,
+        )
+        in_specs.append(
+            pl.BlockSpec((Q, M * Wp), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        return pl.pallas_call(kernel, in_specs=in_specs, **common)(
+            f1, f2, cen, s6
+        )
+    kernel = functools.partial(
+        _window_kernel, Hp=Hp, Wp=Wp, radius=radius, scale=float(C) ** -0.5
+    )
+    return pl.pallas_call(kernel, in_specs=in_specs, **common)(f1, f2, cen)

@@ -21,7 +21,7 @@ from picopose_tpu.ops.pallas.corr import corr_window_pallas
 from picopose_tpu.ops.resize import avg_pool2d
 
 
-def _pallas_lookup_interpret(f1, f2, flow, radius, num_levels):
+def _pallas_lookup_interpret(f1, f2, flow, radius, num_levels, packed=True):
     """The _corr_lookup_pallas_impl loop with interpret=True kernels."""
     B, H, W, C = f1.shape
     P = H * W
@@ -36,20 +36,24 @@ def _pallas_lookup_interpret(f1, f2, flow, radius, num_levels):
         cen = (grid / (2.0 ** i)).reshape(B, P, 2)
         win = corr_window_pallas(
             f1.reshape(B, P, C), pooled.reshape(B, Hp * Wp, C), cen,
-            Hp, Wp, radius, interpret=True,
+            Hp, Wp, radius, interpret=True, packed=packed,
         )
         outs.append(win.reshape(B, H, W, n * n))
     return jnp.concatenate(outs, axis=-1)
 
 
-@pytest.mark.parametrize("g,num_levels", [(16, 1), (16, 2), (32, 3)])
-def test_kernel_matches_xla_path(rng, g, num_levels):
+@pytest.mark.parametrize(
+    "g,num_levels,packed",
+    [(16, 1, True), (16, 2, True), (32, 3, True), (16, 2, False),
+     (32, 3, False)],
+)
+def test_kernel_matches_xla_path(rng, g, num_levels, packed):
     B, C, r = 2, 64, 2
     f1 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
     f2 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
     fl = jnp.asarray((rng.normal(size=(B, g, g, 2)) * 3).astype(np.float32))
     ref = _corr_lookup_xla(f1, f2, fl, r, num_levels)
-    out = _pallas_lookup_interpret(f1, f2, fl, r, num_levels)
+    out = _pallas_lookup_interpret(f1, f2, fl, r, num_levels, packed=packed)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4
     )

@@ -112,6 +112,53 @@ def case_corr():
     print(f"corr_lookup 64^2 lvl3 BH={BH}: {t:7.1f} ms")
 
 
+def case_corr_ab():
+    """Packed vs per-row corr-window kernel at the faithful shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.ops.pallas.corr import corr_window_pallas
+    from picopose_tpu.ops.resize import avg_pool2d
+    from picopose_tpu.ops.corr import pixel_coords_grid
+
+    rng = np.random.default_rng(0)
+    BH, B, g, C, r, lvls, group = 80, 16, 64, 256, 2, 3, 5
+    f1 = jnp.asarray(rng.normal(size=(BH, g, g, C)), jnp.bfloat16)
+    f2 = jnp.asarray(rng.normal(size=(B, g, g, C)), jnp.bfloat16)
+    fl = jnp.asarray(rng.normal(size=(BH, g, g, 2)) * 3, jnp.float32)
+
+    def lookup(a, b, f, packed):
+        P = g * g
+        grid = pixel_coords_grid(g, g, f.dtype) + f
+        f1r = a.reshape(BH, P, C)
+        outs = []
+        pooled = b
+        for i in range(lvls):
+            if i > 0:
+                pooled = avg_pool2d(pooled, 2)
+            Hp, Wp = pooled.shape[1], pooled.shape[2]
+            cen = (grid / (2.0 ** i)).reshape(BH, P, 2)
+            outs.append(corr_window_pallas(
+                f1r, pooled.reshape(B, Hp * Wp, C), cen, Hp, Wp, r,
+                group=group, packed=packed,
+            ))
+        return jnp.concatenate(outs, axis=-1)
+
+    for packed in (False, True):
+        def once(a, f, packed=packed):
+            return lookup(a, f2, f, packed).sum()
+
+        def twice(a, f, packed=packed):
+            return (lookup(a, f2, f, packed).sum()
+                    + lookup(a, f2, f + 0.01, packed).sum())
+
+        t1 = timeit(jax.jit(once), f1, fl)
+        t2 = timeit(jax.jit(twice), f1, fl)
+        name = "packed" if packed else "per-row"
+        print(f"corr 3-lvl {name:7s} BH={BH} group={group}: "
+              f"1x {t1:.1f}, 2x {t2:.1f} -> per-op {t2 - t1:.1f} ms")
+
+
 def case_rtt():
     import jax
     import jax.numpy as jnp
