@@ -137,6 +137,7 @@ def evaluate_dataset(
     hyp: int = 5,
     batch_size: int = 16,
     pnp_iters: int = 150,
+    stage3_topk: int | None = None,
     progress: bool = True,
     use_mesh: bool | None = None,
     decode_workers: int = 8,
@@ -239,7 +240,8 @@ def evaluate_dataset(
                 batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
             key, sub = jax.random.split(key)
             out = run_batch_jit(
-                model, variables, batch, bank, sub, hyp=hyp, pnp_iters=pnp_iters
+                model, variables, batch, bank, sub, hyp=hyp,
+                pnp_iters=pnp_iters, stage3_topk=stage3_topk,
             )
             if pending is not None:
                 mark = _drain(pending, mark)

@@ -47,6 +47,10 @@ class ModelConfig:
     num_levels: int = 3
     radius: int = 4
     compute_dtype: str = "bfloat16"
+    # opt-in serving speed mode: run stage 3 + PnP only on the top-k
+    # MATCHING hypotheses (None = reference-faithful: all of them).
+    # Changes hypothesis-ranking semantics — see eval/pipeline.py.
+    stage3_topk: int | None = None
 
 
 @dataclass

@@ -123,6 +123,7 @@ def main():
             model, variables, ds,
             os.path.join(cfg.test_dataset.template_dir, name),
             save_path, key, hyp=hyp, batch_size=args.batch,
+            stage3_topk=cfg.model.stage3_topk,
         )
         print(f"saved {out}")
 
