@@ -209,8 +209,11 @@ def build(root: str, n_train: int, n_test: int, size: float, level: int,
             "size_z": float(mx[2] - mn[2]),
         }}, f)
 
-    # ---- MegaPose-GSO training tree (depth & poses x10 so the GSO
-    # loader's x0.1 restores them; provider/training_dataset.py:294-298)
+    # ---- MegaPose-GSO training tree.  REAL-branch gt/depth use the plain
+    # BOP convention (mm; the loader divides by 1000 only —
+    # provider/training_dataset.py real branch / data/megapose.py
+    # _process_real).  Only the TEMPLATE bank carries the GSO x10 so the
+    # loader's x0.1/1000 restores meters (training_dataset.py:294-298).
     web = os.path.join(root, "mp", "MegaPose-GSO", "train_pbr_web")
     shard = os.path.join(web, "shard-000000")
     os.makedirs(shard)
@@ -226,12 +229,7 @@ def build(root: str, n_train: int, n_test: int, size: float, level: int,
             key_to_shard[key] = 0
             base = os.path.join(shard, key)
             imageio.imwrite(base + ".rgb.jpg", im[..., :3], quality=95)
-            imageio.imwrite(
-                base + ".depth.png",
-                np.clip(dep.astype(np.float64) * 10.0, 0, 65535).astype(
-                    np.uint16
-                ),
-            )
+            imageio.imwrite(base + ".depth.png", dep)  # uint16 mm
             mask = (im[..., 3] > 0).astype(np.uint8)
             with open(base + ".mask_visib.json", "w") as f:
                 json.dump({"0": encode_rle(mask)}, f)
@@ -239,7 +237,7 @@ def build(root: str, n_train: int, n_test: int, size: float, level: int,
                 json.dump([{
                     "obj_id": 1,
                     "cam_R_m2c": pose[:3, :3].reshape(-1).tolist(),
-                    "cam_t_m2c": (pose[:3, 3] * 10.0).reshape(-1).tolist(),
+                    "cam_t_m2c": pose[:3, 3].reshape(-1).tolist(),
                 }], f)
             with open(base + ".gt_info.json", "w") as f:
                 json.dump([{
@@ -252,16 +250,15 @@ def build(root: str, n_train: int, n_test: int, size: float, level: int,
     with open(os.path.join(web, "key_to_shard.json"), "w") as f:
         json.dump(key_to_shard, f)
 
-    # GSO-layout template bank: depth & pose x10 (loader divides by 10)
+    # GSO-layout template bank: MUST be level 1 (162 views) — the training
+    # loader's nearest-view table is the reference's fixed level-1 icosphere
+    # (data/megapose.py, training_dataset.py:320-332); a smaller bank makes
+    # most view picks miss.  Depth & pose x10 (the GSO loader's x0.1/1000
+    # restores meters).
     tdir = os.path.join(root, "mp", "MegaPose-Templates", "GSO")
-    os.makedirs(tdir)
-    shutil.copytree(os.path.join(bank_dir, "000001"),
-                    os.path.join(tdir, "000001"))
-    poses = np.load(
-        os.path.join(bank_dir, "object_poses", "000001.npy")
-    ).copy()
+    render_object_bank(cad, tdir, level=1, obj_id=1)
+    poses = np.load(os.path.join(tdir, "object_poses", "000001.npy")).copy()
     poses[:, :3, 3] *= 10.0
-    os.makedirs(os.path.join(tdir, "object_poses"), exist_ok=True)
     np.save(os.path.join(tdir, "object_poses", "000001.npy"), poses)
     for fn in os.listdir(os.path.join(tdir, "000001")):
         if fn.endswith("_depth.png"):
