@@ -34,16 +34,19 @@ MODEL_ARGS = [
 ]
 
 
-def run(cmd, log_path):
+def run(cmd, log_path, env=None):
     print("+", " ".join(cmd), f"(log: {log_path})")
+    full_env = dict(os.environ, **(env or {}))
     with open(log_path, "w") as f:
-        rc = subprocess.call(cmd, cwd=REPO, stdout=f, stderr=subprocess.STDOUT)
+        rc = subprocess.call(
+            cmd, cwd=REPO, stdout=f, stderr=subprocess.STDOUT, env=full_env
+        )
     if rc != 0:
         print(open(log_path).read()[-4000:])
         raise SystemExit(f"command failed rc={rc}: {' '.join(cmd)}")
 
 
-def eval_and_score(root, version, tag):
+def eval_and_score(root, version, tag, extra_set=(), env=None):
     csv_dir = os.path.join(
         REPO, "log", "picopose", f"version_{version}", "fakeds_eval"
     )
@@ -54,8 +57,9 @@ def eval_and_score(root, version, tag):
          f"test_dataset.template_dir={root}/templates",
          f"test_dataset.detection_dir={root}/dets",
          "test_dataset.n_template_view=42",
-         *MODEL_ARGS],
+         *MODEL_ARGS, *extra_set],
         os.path.join(root, f"eval_{tag}.log"),
+        env=env,
     )
     csv = os.path.join(csv_dir, "picopose-stage3-2hyp_fakeds-test.csv")
     score_log = os.path.join(root, f"score_{tag}.log")
@@ -120,14 +124,29 @@ def main():
         os.path.join(root, "train.log"),
     )
 
-    # 3. eval + score the trained checkpoint
+    # 3. eval + score the trained checkpoint (faithful mode)
     trained = eval_and_score(root, args.version, "trained")
     print("trained:", json.dumps(trained))
+
+    # 4. mode A/Bs on the SAME checkpoint: int8 matching scores and the
+    # stage3_topk serving mode — the measured AR deltas docs/PARITY.md
+    # cites for both opt-ins.
+    trained_int8 = eval_and_score(
+        root, args.version, "trained_int8", env={"PICOPOSE_MATCH_INT8": "1"}
+    )
+    print("trained int8-matching:", json.dumps(trained_int8))
+    trained_topk1 = eval_and_score(
+        root, args.version, "trained_topk1",
+        extra_set=("model.stage3_topk=1",),
+    )
+    print("trained stage3_topk=1:", json.dumps(trained_topk1))
 
     summary = {
         "steps": args.steps,
         "ar_random": baseline,
         "ar_trained": trained,
+        "ar_trained_int8_matching": trained_int8,
+        "ar_trained_stage3_topk1": trained_topk1,
     }
     with open(os.path.join(root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
