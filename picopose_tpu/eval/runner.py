@@ -227,12 +227,13 @@ def evaluate_dataset(
                 image_model_time[img_idx] += dt / B
             return now
 
-        # Software pipeline, depth 1: dispatch batch i, then fetch batch
-        # i-1 — the host round-trip of materializing the previous results
-        # overlaps the device executing the current batch (the reference
-        # gets the same overlap from CUDA async dispatch + DataLoader
-        # workers, run_test.py:141-159).
-        pending = None
+        # Software pipeline, depth 2: dispatch batch i, then fetch batch
+        # i-2 — the host round-trip of materializing previous results
+        # overlaps the device executing the two in-flight batches, so
+        # fetch-latency jitter hides entirely under device execution (the
+        # reference gets the same overlap from CUDA async dispatch +
+        # DataLoader workers, run_test.py:141-159).
+        pending: list = []
         mark = time.perf_counter()
         for chunk, B, batch in stream:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -243,11 +244,11 @@ def evaluate_dataset(
                 model, variables, batch, bank, sub, hyp=hyp,
                 pnp_iters=pnp_iters, stage3_topk=stage3_topk,
             )
-            if pending is not None:
-                mark = _drain(pending, mark)
-            pending = (chunk, B, out)
-        if pending is not None:
-            _drain(pending, mark)
+            pending.append((chunk, B, out))
+            if len(pending) > 2:
+                mark = _drain(pending.pop(0), mark)
+        for p in pending:
+            mark = _drain(p, mark)
         del bank
 
     if progress:

@@ -202,7 +202,11 @@ def port_picopose(
 
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
-    params["feature_extractor"] = port_dinov2(sd, depth, prefix="feature_extractor.")
+    # the ViT nests under FeatureExtractor's `dinov2` attribute
+    # (model/stage1/feature_extractor.py:87: self.dinov2 = _make_dinov2_model)
+    params["feature_extractor"] = port_dinov2(
+        sd, depth, prefix="feature_extractor.dinov2."
+    )
     params["affine_regressor"] = _port_affine_regressor(sd, "affine_regressor")
     dpt_p, dpt_s = _port_dpt(sd, "offset_regressor.dpt_head")
     params["dpt_head"] = dpt_p
