@@ -201,9 +201,18 @@ def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels, group=1):
     Numerically equivalent to _corr_lookup_xla up to fp32-vs-bf16 window
     arithmetic (the kernel keeps the correlation block fp32 through the
     window evaluation; the XLA path rounds it to the feature dtype first).
+
+    Kernel variant is $PICOPOSE_CORR_VARIANT ('transposed' default —
+    measured ~0 ms marginal per 3-level lookup at the faithful shapes vs
+    ~20 ms per-row / ~42 ms packed, tools/micro_bench.py case_corr_ab:
+    the MXU does only the correlation matmul at full lane width and the
+    bilinear window runs as VPU masked reductions).
     """
+    import os
+
     from picopose_tpu.ops.pallas.corr import corr_window_pallas
 
+    variant = os.environ.get("PICOPOSE_CORR_VARIANT", "transposed")
     B, H, W, C = feat1.shape
     B2 = feat2.shape[0]
     P = H * W
@@ -219,7 +228,8 @@ def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels, group=1):
         cen = (grid / (2.0 ** i)).reshape(B, P, 2)
         win = corr_window_pallas(
             f1, pooled.reshape(B2, Hp * Wp, C), cen, Hp, Wp, radius,
-            group=group,
+            group=group, packed=(variant == "packed"),
+            transposed=(variant == "transposed"),
         )
         outs.append(win.reshape(B, H, W, n * n))
     return jnp.concatenate(outs, axis=-1)

@@ -129,6 +129,72 @@ def _window_kernel_packed(
     out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
+def _window_kernel_transposed(
+    f1_ref, f2_ref, cent_ref, out_ref, *, Hp: int, Wp: int, radius: int,
+    scale: float,
+):
+    """Transposed variant: corr^T = f2 @ f1^T keeps PIXELS on the lane axis,
+    so the window's row selection becomes a masked reduction over the MAJOR
+    (Hp) axis of corr^T reshaped (Hp, Wp, TP) — pure VPU adds — instead of
+    the per-row form's n+1 MXU stride matmuls.  Motivation (trace_ops at
+    the faithful shapes): the stride matmuls are (TP, Q) x (Q, Wp) with
+    N = Wp = 64 output lanes — half the MXU's 128 lanes idle — and they
+    cost ~1.75x the correlation matmul itself in FLOPs.  Here the MXU does
+    ONLY the correlation (same FLOPs, full-width N = TP) and the bilinear
+    window runs on the VPU with the y-weights folded into the masks
+    (n weighted reductions, not n+1 masked + n combines).
+
+    Zero-padding semantics are identical: out-of-range window rows/cols
+    match no iota value and contribute nothing.  Output is written
+    (nn, TP) — channel-major — and un-transposed by the caller in XLA.
+
+    cent_ref carries the window centers TRANSPOSED, (1, 2, TP): the weight
+    arithmetic needs centers with pixels on the lane axis, and reshaping
+    (TP, 2) -> (2, TP) inside the kernel would be a Mosaic relayout.
+    """
+    n = 2 * radius + 1
+    f1 = f1_ref[0]  # (TP, C)
+    f2 = f2_ref[0]  # (Q, C)
+    TP = f1.shape[0]
+    fp32_in = f1.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if fp32_in else None
+
+    corrT = jax.lax.dot_general(
+        f2, f1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale  # (Q, TP) fp32
+    corr3 = corrT.reshape(Hp, Wp, TP)
+
+    cen = cent_ref[0].astype(jnp.float32)  # (2, TP): row 0 = x, row 1 = y
+    cx, cy = cen[0:1, :], cen[1:2, :]      # (1, TP)
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx, fy = cx - x0f, cy - y0f
+    x0 = x0f.astype(jnp.int32) - radius    # (1, TP) first tap per axis
+    y0 = y0f.astype(jnp.int32) - radius
+
+    # y phase: bilinear weight folded into the row mask, reduced over the
+    # major Hp axis (out-of-range rows match neither ky nor ky+1 -> zero)
+    rel = jax.lax.broadcasted_iota(jnp.int32, (Hp, TP), 0) - y0  # (Hp, TP)
+    zero = jnp.float32(0.0)
+    rows = []
+    for ky in range(n):
+        wy = jnp.where(rel == ky, 1.0 - fy, zero) + jnp.where(
+            rel == ky + 1, fy, zero
+        )  # (Hp, TP)
+        rows.append(jnp.sum(corr3 * wy[:, None, :], axis=0))  # (Wp, TP)
+
+    # x phase: same fold over the sublane (Wp) axis
+    relx = jax.lax.broadcasted_iota(jnp.int32, (Wp, TP), 0) - x0  # (Wp, TP)
+    cols = []
+    for kx in range(n):
+        wx = jnp.where(relx == kx, 1.0 - fx, zero) + jnp.where(
+            relx == kx + 1, fx, zero
+        )
+        for ky in range(n):  # channel k = kx*n + ky (outer index walks x)
+            cols.append(jnp.sum(rows[ky] * wx, axis=0, keepdims=True))
+    out_ref[0] = jnp.concatenate(cols, axis=0).astype(out_ref.dtype)
+
+
 def _window_kernel(
     f1_ref, f2_ref, cen_ref, out_ref, *, Hp: int, Wp: int, radius: int,
     scale: float,
@@ -209,7 +275,9 @@ def _pick_tile(P: int, Q: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Hp", "Wp", "radius", "group", "interpret", "packed"),
+    static_argnames=(
+        "Hp", "Wp", "radius", "group", "interpret", "packed", "transposed"
+    ),
 )
 def corr_window_pallas(
     f1: jnp.ndarray,   # (B, P, C) query-side features
@@ -221,6 +289,7 @@ def corr_window_pallas(
     group: int = 1,
     interpret: bool = False,
     packed: bool = False,
+    transposed: bool = False,
 ) -> jnp.ndarray:
     """Windowed correlation for ONE pyramid level: (B, P, (2r+1)^2).
 
@@ -229,10 +298,45 @@ def corr_window_pallas(
     query-image features are common to all hypotheses of an instance) —
     the kernel just indexes f2 at b // group, so the tiled copy never
     exists in HBM."""
+    assert not (packed and transposed), "pick one variant"
     B, P, C = f1.shape
     Q = f2.shape[1]
     n = 2 * radius + 1
     TP = _pick_tile(P, Q)
+    if transposed:
+        # centers transposed so the kernel's lane axis carries pixels; the
+        # channel-major output is un-transposed here in XLA (tiny relayout)
+        cent = jnp.swapaxes(cen, 1, 2)  # (B, 2, P)
+        kernel = functools.partial(
+            _window_kernel_transposed, Hp=Hp, Wp=Wp, radius=radius,
+            scale=float(C) ** -0.5,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, P // TP),
+            in_specs=[
+                pl.BlockSpec((1, TP, C), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Q, C),
+                             lambda b, t, group=group: (b // group, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, TP), lambda b, t: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n * n, TP), lambda b, t: (b, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n * n, P), f1.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * P * Q * C,
+                bytes_accessed=(B * P * C + B * Q * C) * f1.dtype.itemsize,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(f1, f2, cent)
+        return jnp.swapaxes(out, 1, 2)  # (B, P, nn)
     common = dict(
         grid=(B, P // TP),
         out_specs=pl.BlockSpec((1, TP, n * n), lambda b, t: (b, t, 0),

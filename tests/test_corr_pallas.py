@@ -21,7 +21,9 @@ from picopose_tpu.ops.pallas.corr import corr_window_pallas
 from picopose_tpu.ops.resize import avg_pool2d
 
 
-def _pallas_lookup_interpret(f1, f2, flow, radius, num_levels, packed=True):
+def _pallas_lookup_interpret(
+    f1, f2, flow, radius, num_levels, variant="packed"
+):
     """The _corr_lookup_pallas_impl loop with interpret=True kernels."""
     B, H, W, C = f1.shape
     P = H * W
@@ -36,24 +38,27 @@ def _pallas_lookup_interpret(f1, f2, flow, radius, num_levels, packed=True):
         cen = (grid / (2.0 ** i)).reshape(B, P, 2)
         win = corr_window_pallas(
             f1.reshape(B, P, C), pooled.reshape(B, Hp * Wp, C), cen,
-            Hp, Wp, radius, interpret=True, packed=packed,
+            Hp, Wp, radius, interpret=True,
+            packed=(variant == "packed"),
+            transposed=(variant == "transposed"),
         )
         outs.append(win.reshape(B, H, W, n * n))
     return jnp.concatenate(outs, axis=-1)
 
 
 @pytest.mark.parametrize(
-    "g,num_levels,packed",
-    [(16, 1, True), (16, 2, True), (32, 3, True), (16, 2, False),
-     (32, 3, False)],
+    "g,num_levels,variant",
+    [(16, 1, "packed"), (16, 2, "packed"), (32, 3, "packed"),
+     (16, 2, "per-row"), (32, 3, "per-row"),
+     (16, 2, "transposed"), (32, 3, "transposed")],
 )
-def test_kernel_matches_xla_path(rng, g, num_levels, packed):
+def test_kernel_matches_xla_path(rng, g, num_levels, variant):
     B, C, r = 2, 64, 2
     f1 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
     f2 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
     fl = jnp.asarray((rng.normal(size=(B, g, g, 2)) * 3).astype(np.float32))
     ref = _corr_lookup_xla(f1, f2, fl, r, num_levels)
-    out = _pallas_lookup_interpret(f1, f2, fl, r, num_levels, packed=packed)
+    out = _pallas_lookup_interpret(f1, f2, fl, r, num_levels, variant=variant)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4
     )
@@ -74,7 +79,8 @@ def test_kernel_matches_reference_dataflow(rng):
     )
 
 
-def test_out_of_range_taps_are_zero(rng):
+@pytest.mark.parametrize("variant", ["packed", "per-row", "transposed"])
+def test_out_of_range_taps_are_zero(rng, variant):
     """Flow pushing the window fully outside must give zeros
     (grid_sample padding_mode='zeros')."""
     B, g, C, r = 1, 16, 32, 2
@@ -83,7 +89,7 @@ def test_out_of_range_taps_are_zero(rng):
         np.abs(rng.normal(size=(B, g, g, C))).astype(np.float32) + 1.0
     )
     fl = jnp.full((B, g, g, 2), 100.0, jnp.float32)  # centers way outside
-    out = _pallas_lookup_interpret(f1, f2, fl, r, 1)
+    out = _pallas_lookup_interpret(f1, f2, fl, r, 1, variant=variant)
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 

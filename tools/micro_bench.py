@@ -127,7 +127,7 @@ def case_corr_ab():
     f2 = jnp.asarray(rng.normal(size=(B, g, g, C)), jnp.bfloat16)
     fl = jnp.asarray(rng.normal(size=(BH, g, g, 2)) * 3, jnp.float32)
 
-    def lookup(a, b, f, packed):
+    def lookup(a, b, f, variant):
         P = g * g
         grid = pixel_coords_grid(g, g, f.dtype) + f
         f1r = a.reshape(BH, P, C)
@@ -140,22 +140,22 @@ def case_corr_ab():
             cen = (grid / (2.0 ** i)).reshape(BH, P, 2)
             outs.append(corr_window_pallas(
                 f1r, pooled.reshape(B, Hp * Wp, C), cen, Hp, Wp, r,
-                group=group, packed=packed,
+                group=group, packed=(variant == "packed"),
+                transposed=(variant == "transposed"),
             ))
         return jnp.concatenate(outs, axis=-1)
 
-    for packed in (False, True):
-        def once(a, f, packed=packed):
-            return lookup(a, f2, f, packed).sum()
+    for variant in ("per-row", "packed", "transposed"):
+        def once(a, f, variant=variant):
+            return lookup(a, f2, f, variant).sum()
 
-        def twice(a, f, packed=packed):
-            return (lookup(a, f2, f, packed).sum()
-                    + lookup(a, f2, f + 0.01, packed).sum())
+        def twice(a, f, variant=variant):
+            return (lookup(a, f2, f, variant).sum()
+                    + lookup(a, f2, f + 0.01, variant).sum())
 
         t1 = timeit(jax.jit(once), f1, fl)
         t2 = timeit(jax.jit(twice), f1, fl)
-        name = "packed" if packed else "per-row"
-        print(f"corr 3-lvl {name:7s} BH={BH} group={group}: "
+        print(f"corr 3-lvl {variant:10s} BH={BH} group={group}: "
               f"1x {t1:.1f}, 2x {t2:.1f} -> per-op {t2 - t1:.1f} ms")
 
 
