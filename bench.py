@@ -270,8 +270,14 @@ def main(
     )
 
 
-def main_train(batch: int = 8, iters: int = 6, vit: str = "dinov2_vitl14"):
-    """Training-step throughput (BASELINE.json config 4 shape)."""
+def main_train(
+    batch: int = 8, iters: int = 6, vit: str = "dinov2_vitl14",
+    remat: bool = False,
+):
+    """Training-step throughput (BASELINE.json config 4 shape).
+
+    batch 32 needs remat=True on a 16 GB chip (18.3 GB HBM without —
+    ViT block activation rematerialization, models/dinov2.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -279,7 +285,7 @@ def main_train(batch: int = 8, iters: int = 6, vit: str = "dinov2_vitl14"):
     from picopose_tpu.train.step import init_state, make_optimizer, train_step
 
     taps = {"dinov2_vitl14": (5, 11, 17, 23), "dinov2_vits14": (1, 3, 5, 7)}[vit]
-    model = PicoPose(vit_type=vit, blocks_to_take=taps)
+    model = PicoPose(vit_type=vit, blocks_to_take=taps, remat_vit=remat)
     tx = make_optimizer()
     state = init_state(model, tx, jax.random.PRNGKey(0))
 
@@ -407,11 +413,19 @@ if __name__ == "__main__":
     p.add_argument("--hyp", type=int, default=5)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--vit", type=str, default="dinov2_vitl14")
+    p.add_argument(
+        "--remat", action="store_true",
+        help="ViT activation remat (required for --mode train --batch 32 "
+        "on a 16 GB chip)",
+    )
     a = p.parse_args()
     if a.mode == "train":
         # BASELINE config (4) is the train step @ batch 32: bench.py
-        # --mode train --batch 32
-        main_train(min(a.batch, 8) if a.batch == 16 else a.batch, a.iters, a.vit)
+        # --mode train --batch 32 --remat
+        main_train(
+            min(a.batch, 8) if a.batch == 16 else a.batch, a.iters, a.vit,
+            remat=a.remat,
+        )
     elif a.mode == "bank":
         main_bank(a.views, a.vit)
     else:

@@ -34,12 +34,15 @@ class PicoPose(nn.Module):
     num_levels: int = 3
     radius: int = 4
     compute_dtype: Any = jnp.bfloat16
+    # rematerialize ViT block activations in the backward pass (training
+    # memory saver for large per-chip batches; no effect on inference)
+    remat_vit: bool = False
 
     def setup(self):
         cfg = VIT_CONFIGS[self.vit_type]
         self.feature_extractor = FeatureExtractor(
             self.vit_type, self.blocks_to_take, self.compute_dtype,
-            name="feature_extractor",
+            remat=self.remat_vit, name="feature_extractor",
         )
         self.affine_regressor = AffineRegressor(name="affine_regressor")
         self.dpt_head = DPTHead(in_channels=cfg.embed_dim, name="dpt_head")

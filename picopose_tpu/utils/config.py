@@ -51,6 +51,10 @@ class ModelConfig:
     # MATCHING hypotheses (None = reference-faithful: all of them).
     # Changes hypothesis-ranking semantics — see eval/pipeline.py.
     stage3_topk: int | None = None
+    # rematerialize ViT blocks in the backward pass: fits a batch-32
+    # ViT-L training step in one 16 GB chip (18.3 GB without) for ~1
+    # extra forward of FLOPs.  No effect on inference.
+    remat_vit: bool = False
 
 
 @dataclass

@@ -42,6 +42,7 @@ def main():
         num_levels=cfg.model.num_levels,
         radius=cfg.model.radius,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+        remat_vit=cfg.model.remat_vit,
     )
     log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
     os.makedirs(log_dir, exist_ok=True)

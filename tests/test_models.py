@@ -51,6 +51,36 @@ class TestFeatureExtractor:
         feats2 = fe.apply(params, x)
         np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(feats2[0]))
 
+    def test_remat_matches_forward_and_grad(self, rng):
+        """remat=True (ViT block activation checkpointing, the batch-32
+        training memory saver) must match the plain trunk in both the
+        forward values and the parameter gradients — remat changes XLA
+        fusion boundaries, so exact-bit equality is not expected; the
+        measured full-train-step loss delta is ~1e-5 relative."""
+        x = jnp.asarray(rng.normal(size=(2, 112, 112, 3)).astype(np.float32))
+        fe0 = FeatureExtractor(**SMALL, compute_dtype=jnp.float32)
+        fe1 = FeatureExtractor(
+            **SMALL, compute_dtype=jnp.float32, remat=True
+        )
+        params = fe0.init(jax.random.PRNGKey(0), x)
+
+        def loss(fe):
+            def f(p):
+                return sum(jnp.sum(o * o) for o in fe.apply(p, x))
+            return f
+
+        v0, g0 = jax.value_and_grad(loss(fe0))(params)
+        v1, g1 = jax.value_and_grad(loss(fe1))(params)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            # gradient magnitudes are O(100) here; atol covers near-zero
+            # entries whose absolute rounding noise is ~1e-2
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=0.05
+            )
+
 
 class TestHeads:
     def test_affine_regressor_shapes(self, rng):
