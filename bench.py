@@ -121,15 +121,23 @@ def main(
         compiled = run_batch_jit.lower(
             model, variables, batch_data, bank, key, hyp=hyp
         ).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
         exec_fn = lambda v, b, bk, k: compiled(v, b, bk, k)
     except Exception:
+        compiled = None
         exec_fn = lambda v, b, bk, k: run_batch_jit(
             model, v, b, bk, k, hyp=hyp
         )
+    if compiled is not None:
+        # guarded separately: a cost_analysis() failure must not discard the
+        # already-built executable (that would re-pay the multi-minute
+        # compile through the jit path — the exact cost AOT avoids)
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            pass
     out = exec_fn(variables, batch_data, bank, key)
     _ = float(out.inlier_ratio.sum())  # warmup (host-fetch sync)
 
@@ -138,27 +146,27 @@ def main(
     # (a) gets UNIQUE inputs and (b) ends with a device->host fetch of an
     # output that depends on the whole pipeline — the only sync that cannot
     # be satisfied without actually running the program.  Inputs (and
-    # per-iteration PRNG keys) are staged on device BEFORE the timed loops:
+    # per-iteration PRNG keys) are staged on device OUTSIDE the timed
+    # windows:
     # a serving host preps batch i+1 while batch i runs (eval/runner.py's
     # pipeline), so input-perturbation dispatches don't belong in the
     # per-batch cost.  One program dispatch + one small device_get per
     # iteration is all the timed region contains.
-    def staged(seed0: int, off: float):
-        ins = []
-        for i in range(iters):
-            b = dict(batch_data)
-            b["real_rgb"] = batch_data["real_rgb"] + jnp.float32(
-                off + (i + 1) * 1e-6
-            )
-            ins.append((b, jax.random.PRNGKey(seed0 + i)))
-        jax.block_until_ready([b["real_rgb"] for b, _ in ins])
-        return ins
+    def make_input(seed0: int, off: float, i: int):
+        b = dict(batch_data)
+        b["real_rgb"] = batch_data["real_rgb"] + jnp.float32(
+            off + (i + 1) * 1e-6
+        )
+        return b, jax.random.PRNGKey(seed0 + i)
 
-    ins_lat = staged(0, 0.0)
+    # Latency loop: stage each input and block on it OUTSIDE the per-batch
+    # timed window — O(1) staged HBM regardless of --iters.
     lat = []
     acc = 0.0
     t0 = time.perf_counter()
-    for b, k in ins_lat:
+    for i in range(iters):
+        b, k = make_input(0, 0.0, i)
+        jax.block_until_ready(b["real_rgb"])
         ti = time.perf_counter()
         out = exec_fn(variables, b, bank, k)
         ir, R = jax.device_get((out.inlier_ratio, out.R))
@@ -173,12 +181,21 @@ def main(
     # This is the number a serving loop sees; the per-batch-synced p50
     # above is the LATENCY number.  Unique inputs per iteration as before
     # (offset range disjoint from the latency loop's).
-    ins_pipe = staged(1000, 0.5)
+    # Staged HBM is bounded: pre-stage at most STAGE_LIMIT inputs (each
+    # real_rgb copy is ~9.6 MB at batch 16 — large --iters would otherwise
+    # hold O(iters) copies on a chip already carrying ViT-L + the bank);
+    # beyond the limit, dispatch the perturbation inline — it is async and
+    # overlaps device execution, exactly what a serving host pays.
+    STAGE_LIMIT = 32
+    n_staged = min(iters, STAGE_LIMIT)
+    ins_pipe = [make_input(1000, 0.5, i) for i in range(n_staged)]
+    jax.block_until_ready([b["real_rgb"] for b, _ in ins_pipe])
     depth = 2
     acc_pipe = 0.0
     pending = []
     t0 = time.perf_counter()
-    for b, k in ins_pipe:
+    for i in range(iters):
+        b, k = ins_pipe[i] if i < n_staged else make_input(1000, 0.5, i)
         pending.append(
             exec_fn(variables, b, bank, k)
         )

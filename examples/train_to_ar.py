@@ -26,11 +26,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+HYP = 2  # also determines run_test.py's CSV filename (see eval_and_score)
 MODEL_ARGS = [
     "model.vit_type=dinov2_vits14",
     "model.blocks_to_take=[2,5,8,11]",
     "model.compute_dtype=float32",
-    "model.hypothesis=2",
+    f"model.hypothesis={HYP}",
 ]
 
 
@@ -61,7 +62,8 @@ def eval_and_score(root, version, tag, extra_set=(), env=None):
         os.path.join(root, f"eval_{tag}.log"),
         env=env,
     )
-    csv = os.path.join(csv_dir, "picopose-stage3-2hyp_fakeds-test.csv")
+    # run_test.py names the CSV after the hypothesis count
+    csv = os.path.join(csv_dir, f"picopose-stage3-{HYP}hyp_fakeds-test.csv")
     score_log = os.path.join(root, f"score_{tag}.log")
     run(
         [sys.executable, "score_csv.py", "--csv", csv, "--data_dir",

@@ -195,6 +195,10 @@ def _corr_lookup_xla(
     return jnp.concatenate(outs, axis=-1)
 
 
+# pinned at first trace; see _corr_lookup_pallas_impl docstring
+_CORR_VARIANT = None
+
+
 def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels, group=1):
     """Fused-kernel lookup: pooling in XLA, one Pallas call per level.
 
@@ -202,17 +206,24 @@ def _corr_lookup_pallas_impl(feat1, feat2, flow, radius, num_levels, group=1):
     arithmetic (the kernel keeps the correlation block fp32 through the
     window evaluation; the XLA path rounds it to the feature dtype first).
 
-    Kernel variant is $PICOPOSE_CORR_VARIANT ('transposed' default —
+    Kernel variant is $PICOPOSE_CORR_VARIANT, read ONCE at first trace and
+    pinned for the process lifetime: the jit cache does not key on it, so a
+    mid-process env change could otherwise silently keep serving the old
+    kernel on cached shapes.  A/B runs (tools/micro_bench.py case_corr_ab)
+    pass the variant explicitly per call instead.  ('transposed' default —
     measured ~0 ms marginal per 3-level lookup at the faithful shapes vs
     ~20 ms per-row / ~42 ms packed, tools/micro_bench.py case_corr_ab:
     the MXU does only the correlation matmul at full lane width and the
     bilinear window runs as VPU masked reductions).
     """
-    import os
-
     from picopose_tpu.ops.pallas.corr import corr_window_pallas
 
-    variant = os.environ.get("PICOPOSE_CORR_VARIANT", "transposed")
+    global _CORR_VARIANT
+    if _CORR_VARIANT is None:
+        import os
+
+        _CORR_VARIANT = os.environ.get("PICOPOSE_CORR_VARIANT", "transposed")
+    variant = _CORR_VARIANT
     B, H, W, C = feat1.shape
     B2 = feat2.shape[0]
     P = H * W

@@ -111,8 +111,14 @@ def test_custom_vjp_matches_xla_grads(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_group_shared_feat2_matches_tiled(rng):
-    """group=k with B/k feat2 maps must equal tiling feat2 k-fold."""
+@pytest.mark.parametrize("variant", ["per-row", "packed", "transposed"])
+def test_group_shared_feat2_matches_tiled(rng, variant):
+    """group=k with B/k feat2 maps must equal tiling feat2 k-fold.
+
+    Parametrized over every kernel variant: production eval runs the
+    transposed kernel with group=hyp, so the hypothesis-sharing index map
+    (f2 BlockSpec b//group) must be covered for each variant, not just the
+    per-row one."""
     B2, k, g, C, r, L = 2, 3, 16, 32, 2, 2
     B = B2 * k
     f1 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
@@ -140,6 +146,8 @@ def test_group_shared_feat2_matches_tiled(rng):
             corr_window_pallas(
                 f1.reshape(B, P, C), pooled.reshape(B2, Hp * Wp, C), cen,
                 Hp, Wp, r, group=k, interpret=True,
+                packed=(variant == "packed"),
+                transposed=(variant == "transposed"),
             ).reshape(B, g, g, n * n)
         )
     got_p = jnp.concatenate(outs, axis=-1)

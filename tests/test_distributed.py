@@ -69,7 +69,10 @@ class TestTwoProcess:
         ]
         outs = []
         for p in procs:
-            out, err = p.communicate(timeout=900)
+            # generous: two concurrent JAX processes each compile a ViT-S
+            # train step; on a 1-core CI host with a parallel suite running
+            # this has been observed to exceed 15 min from contention alone
+            out, err = p.communicate(timeout=2700)
             outs.append((p.returncode, out, err))
         for rc, out, err in outs:
             assert rc == 0, f"worker failed:\n{err[-3000:]}"

@@ -234,7 +234,9 @@ class TestEndToEndChain:
             topk=HYP, impl="xla",
         )
         tem_last = _take(bank.feats[-1], ids)
-        tile = lambda x: jnp.repeat(x, HYP, axis=0) if False else jnp.tile(
+        # instance-major hypothesis streams ([b0,b0,b1,b1,...]), matching
+        # _take's gather layout (equivalent to jnp.repeat(x, HYP, axis=0))
+        tile = lambda x: jnp.tile(
             x[:, None], (1, HYP) + (1,) * (x.ndim - 1)
         ).reshape(B * HYP, *x.shape[1:])
         translation, scale, inplane = model.apply(
