@@ -116,6 +116,97 @@ class TestColorAugment:
         b = augment_color(np.random.default_rng(2), img)
         assert not np.array_equal(a, b)
 
+    def test_deterministic_given_rng(self, rng):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        a = augment_color(np.random.default_rng(7), img)
+        b = augment_color(np.random.default_rng(7), img)
+        np.testing.assert_array_equal(a, b)
+
+    def test_pil_enhance_exact(self, rng):
+        # the pillike ops go through PIL.ImageEnhance — exactly what
+        # imgaug's pillike backend does (reference pipeline,
+        # provider/training_dataset.py:90-94)
+        from PIL import Image, ImageEnhance
+        from picopose_tpu.data.color_augment import _pil_enhance
+
+        img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        for kind, factor in [
+            ("Sharpness", 13.7),
+            ("Contrast", 0.4),
+            ("Brightness", 3.2),
+            ("Color", 8.5),
+        ]:
+            ours = _pil_enhance(kind, img, factor)
+            ref = np.asarray(
+                getattr(ImageEnhance, kind)(Image.fromarray(img)).enhance(factor)
+            )
+            np.testing.assert_array_equal(ours, ref)
+
+    def test_add_saturates_uint8(self):
+        from picopose_tpu.data.color_augment import _add
+
+        img = np.full((8, 8, 3), 250, np.uint8)
+        # find an rng draw that picks a positive shared offset
+        for seed in range(50):
+            r = np.random.default_rng(seed)
+            out = _add(r, img)
+            assert out.dtype == np.uint8
+            assert out.max() <= 255 and out.min() >= 0
+
+    def test_linear_contrast_formula(self):
+        from picopose_tpu.data.color_augment import _linear_contrast
+
+        img = np.full((4, 4, 3), 227, np.uint8)
+
+        class FixedRng:
+            def random(self):
+                return 1.0  # not per-channel
+
+            def uniform(self, lo, hi, size=None):
+                return 2.0
+
+        out = _linear_contrast(FixedRng(), img)
+        # 127 + 2*(227-127) = 327 -> clips to 255
+        assert (out == 255).all()
+        out2 = _linear_contrast(FixedRng(), np.full((4, 4, 3), 100, np.uint8))
+        # 127 + 2*(100-127) = 73
+        assert (out2 == 73).all()
+
+    def test_invert_per_channel(self):
+        from picopose_tpu.data.color_augment import _invert
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[..., 0] = 10
+        seen_partial = False
+        for seed in range(200):
+            out = _invert(np.random.default_rng(seed), img)
+            flipped = [not np.array_equal(out[..., c], img[..., c]) for c in range(3)]
+            if any(flipped) and not all(flipped):
+                seen_partial = True
+                break
+        assert seen_partial, "per-channel invert never flipped a strict subset"
+
+    def test_coarse_dropout_zeroes_all_channels(self):
+        from picopose_tpu.data.color_augment import _coarse_dropout
+
+        img = np.full((64, 64, 3), 200, np.uint8)
+        for seed in range(20):
+            out = _coarse_dropout(np.random.default_rng(seed), img)
+            zero = out == 0
+            # dropped pixels are dropped in every channel together
+            np.testing.assert_array_equal(zero[..., 0], zero[..., 1])
+            np.testing.assert_array_equal(zero[..., 0], zero[..., 2])
+            if zero.any():
+                return
+        raise AssertionError("dropout never dropped anything in 20 draws")
+
+    def test_blur_ksize_heuristic(self):
+        from picopose_tpu.data.color_augment import _gaussian_blur_ksize
+
+        for sigma, expect in [(0.5, 5), (2.0, 7), (3.0, 9), (6.0, 15)]:
+            k = _gaussian_blur_ksize(sigma)
+            assert k == expect and k % 2 == 1
+
 
 class TestConfig:
     def test_defaults(self):
