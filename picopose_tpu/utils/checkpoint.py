@@ -43,6 +43,12 @@ def load_any(path: str, depth: int = 24) -> dict:
     Returns a flax variables dict ({'params': ..., 'batch_stats': ...}).
     """
     if os.path.isdir(path):
+        # a CheckpointManager step dir nests the payload under 'default/'
+        # (StandardCheckpointer wants the item dir itself)
+        if not os.path.exists(os.path.join(path, "_METADATA")) and os.path.isdir(
+            os.path.join(path, "default")
+        ):
+            path = os.path.join(path, "default")
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(path))
     # torch checkpoint (reference .ckpt / .pth): port it
