@@ -1,0 +1,320 @@
+"""Programmatic inference API: a persistent pose estimator for serving.
+
+The reference only exposes a CLI over BOP trees (run_test.py); production
+use needs a library surface — load once, register object template banks,
+then call `estimate(rgb, K, detections)` per frame.  This wraps the same
+one-program TPU pipeline (eval/pipeline.py) behind that surface:
+
+    est = PoseEstimator(checkpoint="model.ckpt")          # or orbax dir
+    est.register_object(1, "templates/ycbv")              # builds the bank
+    poses = est.estimate(rgb, K, [
+        {"obj_id": 1, "mask": mask},                      # or RLE / bbox
+    ])
+    poses[0].R, poses[0].t, poses[0].score
+
+Crops/batches are padded to a fixed `max_batch` so repeated calls reuse
+the single compiled executable (XLA retraces on shape change); detections
+for several objects in one call are grouped per object bank, exactly like
+the offline runner (eval/runner.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+
+from picopose_tpu.data.crops import (
+    crop_and_normalize_rgb,
+    crop_matrix,
+    crop_mask,
+    grid_pts2d,
+    mask_square_bbox,
+    square_bbox,
+)
+from picopose_tpu.data.rle import rle_to_mask
+
+
+def _to_numpy_typed(x) -> np.ndarray:
+    """Device array -> numpy, with bf16 stored as raw uint16 bits (numpy
+    has no bfloat16; the dtype round-trips via _from_numpy_typed)."""
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.bfloat16:
+        import jax
+
+        raw = np.asarray(jax.lax.bitcast_convert_type(x, jnp.uint16))
+        return raw.view([("bf16", np.uint16)])
+    return np.asarray(x)
+
+
+def _from_numpy_typed(a: np.ndarray):
+    import jax
+    import jax.numpy as jnp
+
+    if a.dtype.names == ("bf16",):
+        raw = jnp.asarray(a.view(np.uint16))
+        return jax.lax.bitcast_convert_type(raw, jnp.bfloat16)
+    return a
+
+
+@dataclasses.dataclass
+class PoseResult:
+    """Best-hypothesis pose for one detection (camera frame, meters)."""
+
+    obj_id: int
+    R: np.ndarray              # (3, 3)
+    t: np.ndarray              # (3,) meters
+    score: float               # PnP inlier ratio of the winning hypothesis
+    success: bool              # PnP converged (else stage-2 fallback pose)
+    template_score: float      # stage-1 matching score of that hypothesis
+
+
+class PoseEstimator:
+    """Persistent single-process estimator around the jitted pipeline."""
+
+    def __init__(
+        self,
+        checkpoint: str | None = None,
+        variables: Mapping[str, Any] | None = None,
+        vit_type: str = "dinov2_vitl14",
+        blocks_to_take: Sequence[int] = (5, 11, 17, 23),
+        compute_dtype: str = "bfloat16",
+        hyp: int = 5,
+        n_template_view: int = 162,
+        pnp_iters: int = 150,
+        stage3_topk: int | None = None,
+        max_batch: int = 16,
+        img_size: int = 224,
+        pts_size: int = 64,
+        min_mask_px: int = 8,
+        rgb_mask_flag: bool = False,
+        seed: int = 0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from picopose_tpu.models import PicoPose
+
+        self._jnp = jnp
+        self.model = PicoPose(
+            vit_type=vit_type,
+            blocks_to_take=tuple(blocks_to_take),
+            compute_dtype=compute_dtype,
+        )
+        self.hyp = hyp
+        self.n_template_view = n_template_view
+        self.pnp_iters = pnp_iters
+        self.stage3_topk = stage3_topk
+        self.max_batch = max_batch
+        self.img_size = img_size
+        self.pts_size = pts_size
+        self.min_mask_px = min_mask_px
+        self.rgb_mask_flag = rgb_mask_flag
+        self._key = jax.random.PRNGKey(seed)
+        self._banks: dict[int, Any] = {}
+
+        if variables is not None:
+            self.variables = variables
+        elif checkpoint is not None:
+            from picopose_tpu.models.dinov2 import VIT_CONFIGS
+            from picopose_tpu.utils.checkpoint import load_any
+
+            restored = load_any(checkpoint, depth=VIT_CONFIGS[vit_type].depth)
+            # an orbax TRAINING checkpoint restores the whole TrainState;
+            # keep only the model variables (same unwrap as run_test.py)
+            self.variables = {
+                "params": restored["params"],
+                "batch_stats": restored.get("batch_stats", {}),
+            }
+        else:
+            warnings.warn("PoseEstimator with RANDOM weights (no checkpoint)")
+            imgs = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), imgs, jnp.ones((1, img_size, img_size)), True
+            )
+
+    # ---- object registration -------------------------------------------
+
+    def register_object(self, obj_id: int, template_dir: str) -> None:
+        """Build and cache the template bank from a rendered-template dir
+        (layout: <dir>/<obj:06d>/*.png + <dir>/object_poses/<obj:06d>.npy,
+        the reference's run_test.py:120-134 bank source)."""
+        from picopose_tpu.data.bop import load_template_views
+        from picopose_tpu.eval.pipeline import build_bank
+
+        jnp = self._jnp
+        tem = load_template_views(
+            template_dir, obj_id, self.n_template_view,
+            self.img_size, self.pts_size, self.rgb_mask_flag,
+        )
+        self._banks[obj_id] = build_bank(
+            self.model, self.variables,
+            jnp.asarray(tem["tem_rgb"]), jnp.asarray(tem["tem_mask"]),
+            jnp.asarray(tem["tem_pts3d"]), jnp.asarray(tem["tem_pose"]),
+            jnp.asarray(tem["tem_K"]), jnp.asarray(tem["tem_M"]),
+        )
+
+    def register_bank(self, obj_id: int, bank) -> None:
+        """Cache a prebuilt TemplateBank (e.g. shared across processes)."""
+        self._banks[obj_id] = bank
+
+    @property
+    def objects(self) -> list[int]:
+        return sorted(self._banks)
+
+    # ---- bank persistence (skip the per-object ViT pass on restart) ------
+
+    def save_banks(self, directory: str) -> None:
+        """Persist every registered bank as <dir>/bank_<obj:06d>.npz.
+
+        Banks are checkpoint-dependent (they cache backbone + DPT
+        activations); re-export after loading different weights."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        for obj_id, bank in self._banks.items():
+            arrs: dict[str, np.ndarray] = {}
+            for field in ("mask", "pts3d", "pose", "K", "M"):
+                arrs[field] = np.asarray(getattr(bank, field))
+            for i, f in enumerate(bank.feats):
+                # bf16 has no numpy dtype: store raw uint16 + a dtype tag
+                arrs[f"feats_{i}"] = _to_numpy_typed(f)
+            if bank.dpt is not None:
+                for i, d in enumerate(bank.dpt):
+                    arrs[f"dpt_{i}"] = _to_numpy_typed(d)
+            np.savez(
+                os.path.join(directory, f"bank_{obj_id:06d}.npz"), **arrs
+            )
+
+    def load_banks(self, directory: str) -> list[int]:
+        """Load every bank_<obj>.npz in `directory`; returns the obj ids."""
+        import glob
+        import os
+        import re
+
+        from picopose_tpu.eval.pipeline import TemplateBank
+
+        jnp = self._jnp
+        loaded = []
+        for path in sorted(glob.glob(os.path.join(directory, "bank_*.npz"))):
+            m = re.search(r"bank_(\d+)\.npz$", path)
+            if not m:
+                continue
+            obj_id = int(m.group(1))
+            z = np.load(path)
+            feats = tuple(
+                jnp.asarray(_from_numpy_typed(z[f"feats_{i}"]))
+                for i in range(sum(1 for k in z.files if k.startswith("feats_")))
+            )
+            n_dpt = sum(1 for k in z.files if k.startswith("dpt_"))
+            dpt = (
+                tuple(
+                    jnp.asarray(_from_numpy_typed(z[f"dpt_{i}"]))
+                    for i in range(n_dpt)
+                )
+                if n_dpt
+                else None
+            )
+            self._banks[obj_id] = TemplateBank(
+                feats=feats,
+                mask=jnp.asarray(z["mask"]),
+                pts3d=jnp.asarray(z["pts3d"]),
+                pose=jnp.asarray(z["pose"]),
+                K=jnp.asarray(z["K"]),
+                M=jnp.asarray(z["M"]),
+                dpt=dpt,
+            )
+            loaded.append(obj_id)
+        return loaded
+
+    # ---- inference -------------------------------------------------------
+
+    def _decode(self, rgb: np.ndarray, K: np.ndarray, det: Mapping[str, Any]):
+        """One detection dict -> model-ready crop (the reference's
+        mask-bbox rules, bop_test_dataset.py:146-209 / data/bop.py)."""
+        H, W = rgb.shape[:2]
+        mask = det.get("mask")
+        if mask is None and "segmentation" in det:
+            mask = rle_to_mask(det["segmentation"])
+        if mask is not None and mask.sum() > self.min_mask_px:
+            bbox = mask_square_bbox(mask.astype(np.uint8))
+        else:
+            if "bbox" not in det:
+                raise ValueError("detection needs a usable 'mask'/'segmentation' or 'bbox'")
+            bx = det["bbox"]  # xywh, CNOS convention
+            bbox = square_bbox((bx[1], bx[1] + bx[3], bx[0], bx[0] + bx[2]), (H, W))
+            if mask is None:
+                mask = np.zeros((H, W), np.uint8)
+                mask[bbox[0]:bbox[1], bbox[2]:bbox[3]] = 1
+        M = crop_matrix(bbox, self.img_size)
+        return {
+            "rgb": crop_and_normalize_rgb(
+                rgb, bbox, self.img_size, mask, self.rgb_mask_flag
+            ),
+            "mask": crop_mask(mask, bbox, self.img_size),
+            "M": M,
+            "K": K.astype(np.float32),
+            "pts2d": grid_pts2d(M, self.img_size, self.pts_size),
+        }
+
+    def estimate(
+        self,
+        rgb: np.ndarray,
+        K: np.ndarray,
+        detections: Sequence[Mapping[str, Any]],
+    ) -> list[PoseResult]:
+        """Estimate a pose per detection on one (H, W, 3) uint8 RGB frame.
+
+        Each detection: {"obj_id": int (or "category_id"),
+        "mask": (H, W) binary | "segmentation": RLE dict | "bbox": xywh,
+        optional "score"}.  Returns results in input order."""
+        import jax
+
+        from picopose_tpu.eval.pipeline import run_batch_jit
+
+        jnp = self._jnp
+        rgb = np.ascontiguousarray(rgb)
+        per_obj: dict[int, list[int]] = {}
+        for i, det in enumerate(detections):
+            obj = int(det.get("obj_id", det.get("category_id", -1)))
+            if obj not in self._banks:
+                raise KeyError(
+                    f"object {obj} not registered (have {self.objects})"
+                )
+            per_obj.setdefault(obj, []).append(i)
+
+        results: list[PoseResult | None] = [None] * len(detections)
+        for obj, idxs in per_obj.items():
+            bank = self._banks[obj]
+            for s in range(0, len(idxs), self.max_batch):
+                chunk = idxs[s : s + self.max_batch]
+                insts = [self._decode(rgb, K, detections[i]) for i in chunk]
+                B, pad = len(chunk), self.max_batch - len(chunk)
+                batch = {}
+                for name in ("rgb", "mask", "M", "K", "pts2d"):
+                    arr = np.stack([inst[name] for inst in insts])
+                    if pad:
+                        arr = np.concatenate(
+                            [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
+                        )
+                    batch[f"real_{name}"] = jnp.asarray(arr)
+                self._key, sub = jax.random.split(self._key)
+                out = run_batch_jit(
+                    self.model, self.variables, batch, bank, sub,
+                    hyp=self.hyp, pnp_iters=self.pnp_iters,
+                    stage3_topk=self.stage3_topk,
+                )
+                out = jax.tree.map(np.asarray, out)
+                for bi, i in enumerate(chunk):
+                    results[i] = PoseResult(
+                        obj_id=obj,
+                        R=out.R[bi, 0],
+                        t=out.t[bi, 0],
+                        score=float(out.inlier_ratio[bi, 0]),
+                        success=bool(out.pnp_success[bi, 0]),
+                        template_score=float(out.template_score[bi, 0]),
+                    )
+        return results  # type: ignore[return-value]

@@ -1,0 +1,133 @@
+"""Serving API tests: PoseEstimator over a rasterizer-rendered cube world.
+
+Smoke-level (random weights — accuracy is covered by the synthetic-world
+closed loop and reference-parity suites); pins the surface contract:
+registration, detection decoding (mask / RLE / bbox), per-object batching
+with padding, result ordering and types.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from picopose_tpu.native import available as native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native rasterizer not built"
+)
+
+K = np.array([[572.4114, 0, 320.0], [0, 573.57043, 240.0], [0, 0, 1.0]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    from picopose_tpu.native.renderer import load_ply, render_object_bank, render_views
+    from tests.test_native import make_cube_ply
+    from scipy.spatial.transform import Rotation
+
+    root = tmp_path_factory.mktemp("serve")
+    cad = str(root / "obj_000001.ply")
+    make_cube_ply(cad, size=60.0)
+    bank_dir = str(root / "bank")
+    render_object_bank(cad, bank_dir, level=0, obj_id=1)
+
+    verts, colors, faces = load_ply(cad)
+    poses = []
+    for i in range(3):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rotation.from_euler("xyz", [0.3 * i, 0.2, 0.5]).as_matrix()
+        T[:3, 3] = [10.0, -5.0, 450.0 + 30 * i]
+        poses.append(T)
+    rgba, _depth = render_views(verts, colors, faces, np.stack(poses), K)
+    return {"bank_dir": bank_dir, "rgba": rgba}
+
+
+@pytest.fixture(scope="module")
+def estimator(world):
+    from picopose_tpu.serve import PoseEstimator
+
+    with pytest.warns(UserWarning, match="RANDOM weights"):
+        est = PoseEstimator(
+            vit_type="dinov2_vits14",
+            blocks_to_take=(1, 3, 5, 7),
+            compute_dtype="float32",
+            hyp=2,
+            n_template_view=6,
+            pnp_iters=30,
+            max_batch=2,
+        )
+    est.register_object(1, world["bank_dir"])
+    return est
+
+
+class TestPoseEstimator:
+    def test_estimate_with_masks(self, estimator, world):
+        rgb = world["rgba"][0][..., :3]
+        mask = (world["rgba"][0][..., 3] > 0).astype(np.uint8)
+        dets = [{"obj_id": 1, "mask": mask, "score": 0.9}]
+        out = estimator.estimate(rgb, K, dets)
+        assert len(out) == 1
+        r = out[0]
+        assert r.obj_id == 1
+        np.testing.assert_allclose(r.R @ r.R.T, np.eye(3), atol=1e-4)
+        assert np.isfinite(r.t).all() and np.isfinite(r.score)
+        assert isinstance(r.success, bool)
+
+    def test_batching_and_order(self, estimator, world):
+        """3 detections with max_batch=2 -> two chunks; order preserved."""
+        rgb = world["rgba"][1][..., :3]
+        mask = (world["rgba"][1][..., 3] > 0).astype(np.uint8)
+        ys, xs = np.where(mask)
+        bbox = [int(xs.min()), int(ys.min()),
+                int(xs.max() - xs.min()), int(ys.max() - ys.min())]
+        dets = [
+            {"obj_id": 1, "mask": mask},
+            {"obj_id": 1, "bbox": bbox},          # bbox-only path
+            {"category_id": 1, "mask": mask},     # CNOS key alias
+        ]
+        out = estimator.estimate(rgb, K, dets)
+        assert len(out) == 3 and all(r is not None for r in out)
+        assert [r.obj_id for r in out] == [1, 1, 1]
+        # same mask -> same crop -> identical poses for det 0 and 2 only if
+        # they land in the same RANSAC key... so just check both are valid
+        for r in out:
+            np.testing.assert_allclose(r.R @ r.R.T, np.eye(3), atol=1e-4)
+
+    def test_unregistered_object_raises(self, estimator, world):
+        rgb = world["rgba"][0][..., :3]
+        with pytest.raises(KeyError, match="not registered"):
+            estimator.estimate(rgb, K, [{"obj_id": 7, "bbox": [0, 0, 10, 10]}])
+
+    def test_rle_detection(self, estimator, world):
+        from tests.test_integration_io import encode_rle
+
+        rgb = world["rgba"][2][..., :3]
+        mask = (world["rgba"][2][..., 3] > 0).astype(np.uint8)
+        out = estimator.estimate(
+            rgb, K, [{"obj_id": 1, "segmentation": encode_rle(mask)}]
+        )
+        assert len(out) == 1 and np.isfinite(out[0].t).all()
+
+    def test_objects_property(self, estimator):
+        assert estimator.objects == [1]
+
+    def test_bank_save_load_round_trip(self, estimator, world, tmp_path):
+        import jax.numpy as jnp
+        from picopose_tpu.serve import PoseEstimator
+
+        estimator.save_banks(str(tmp_path))
+        est2 = PoseEstimator.__new__(PoseEstimator)  # skip weight init
+        est2._banks = {}
+        est2._jnp = jnp
+        assert est2.load_banks(str(tmp_path)) == [1]
+        a, b = estimator._banks[1], est2._banks[1]
+        for i in range(4):
+            assert a.feats[i].dtype == b.feats[i].dtype
+            np.testing.assert_array_equal(
+                np.asarray(a.feats[i], np.float32),
+                np.asarray(b.feats[i], np.float32),
+            )
+        np.testing.assert_array_equal(np.asarray(a.pts3d), np.asarray(b.pts3d))
+        if a.dpt is not None:
+            assert b.dpt is not None and len(a.dpt) == len(b.dpt)
