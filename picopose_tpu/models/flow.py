@@ -27,12 +27,19 @@ from picopose_tpu.ops.resize import resize_bilinear
 from picopose_tpu.ops.sample import warp_by_flow
 
 
-def _conv_relu(x, ch: int, k: int, pad: int, name: str):
+def _conv_relu(x, ch: int, k: int, pad: int, name: str, quantize: bool = False):
     # dtype=x.dtype keeps the conv in the caller's compute dtype: without
     # it flax promotes bf16 activations with the fp32 params to FP32
     # activations throughout the stack — 2x the HBM/VMEM traffic of the
-    # hottest convs in the model (params stay fp32 either way)
-    x = nn.Conv(ch, (k, k), padding=pad, name=name, dtype=x.dtype)(x)
+    # hottest convs in the model (params stay fp32 either way).
+    # quantize=True swaps in the int8-MXU conv (same param tree; opt-in
+    # serving mode, ops/qconv.py).
+    if quantize:
+        from picopose_tpu.ops.qconv import QConv
+
+        x = QConv(ch, (k, k), padding=pad, name=name)(x)
+    else:
+        x = nn.Conv(ch, (k, k), padding=pad, name=name, dtype=x.dtype)(x)
     return nn.relu(x)
 
 
@@ -44,13 +51,16 @@ class MotionEncoder(nn.Module):
     out_net (3x3 -> 126); output concat([out, flow]).
     """
 
+    quantize: bool = False
+
     @nn.compact
     def __call__(self, corr: jnp.ndarray, flow: jnp.ndarray):
-        c = _conv_relu(corr, 256, 1, 0, "corr_net_0")
-        c = _conv_relu(c, 192, 3, 1, "corr_net_1")
-        f = _conv_relu(flow, 128, 7, 3, "flow_net_0")
-        f = _conv_relu(f, 64, 3, 1, "flow_net_1")
-        out = _conv_relu(jnp.concatenate([c, f], axis=-1), 126, 3, 1, "out_net_0")
+        q = self.quantize
+        c = _conv_relu(corr, 256, 1, 0, "corr_net_0", q)
+        c = _conv_relu(c, 192, 3, 1, "corr_net_1", q)
+        f = _conv_relu(flow, 128, 7, 3, "flow_net_0", q)
+        f = _conv_relu(f, 64, 3, 1, "flow_net_1", q)
+        out = _conv_relu(jnp.concatenate([c, f], axis=-1), 126, 3, 1, "out_net_0", q)
         return jnp.concatenate([out, flow], axis=-1)
 
 
@@ -60,11 +70,12 @@ class XHead(nn.Module):
 
     out_ch: int
     kind: str  # 'flow' | 'mask'
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = _conv_relu(x, 512, 3, 1, "layers_0")
-        x = _conv_relu(x, 256, 3, 1, "layers_1")
+        x = _conv_relu(x, 512, 3, 1, "layers_0", self.quantize)
+        x = _conv_relu(x, 256, 3, 1, "layers_1", self.quantize)
         k = 3 if self.kind == "flow" else 1
         # dtype again: an fp32-promoted 1/2-channel predict conv costs ~4 ms
         # per level in the device trace purely from the fp32 layout
@@ -76,6 +87,9 @@ class XHead(nn.Module):
 class FlowDecoder(nn.Module):
     num_levels: int = 3
     radius: int = 4  # config radius; per-level lookup uses radius // 2
+    # int8-MXU conv serving mode (ops/qconv.py); proj convs stay float
+    # (they feed BatchNorm), as do the 2/1-channel predict convs (tiny)
+    quantize: bool = False
 
     @nn.compact
     def __call__(
@@ -124,13 +138,17 @@ class FlowDecoder(nn.Module):
             )
             # keep the conv stacks in the feature compute dtype (bf16 on TPU);
             # flow itself stays fp32 through the residual adds below
-            motion = MotionEncoder(name=f"encoder_{level}")(
+            motion = MotionEncoder(name=f"encoder_{level}", quantize=self.quantize)(
                 corr.astype(ft.dtype), flow.astype(ft.dtype)
             )
             fr_hat = warp_by_flow(fr, flow, group=group)
             x = jnp.concatenate([ft, fr_hat, motion], axis=-1)
-            flow = flow + XHead(2, "flow", name=f"flow_pred_{level}")(x)
-            certainty = certainty + XHead(1, "mask", name=f"mask_pred_{level}")(x)
+            flow = flow + XHead(
+                2, "flow", name=f"flow_pred_{level}", quantize=self.quantize
+            )(x)
+            certainty = certainty + XHead(
+                1, "mask", name=f"mask_pred_{level}", quantize=self.quantize
+            )(x)
 
             pred_flow.append(flow)
             pred_certainty.append(certainty)

@@ -37,6 +37,9 @@ class PicoPose(nn.Module):
     # rematerialize ViT block activations in the backward pass (training
     # memory saver for large per-chip batches; no effect on inference)
     remat_vit: bool = False
+    # int8-MXU stage-3 convs (opt-in serving mode; changes numerics vs the
+    # reference's float convs — ops/qconv.py, docs/PERF.md)
+    quantize_stage3: bool = False
 
     def setup(self):
         cfg = VIT_CONFIGS[self.vit_type]
@@ -47,7 +50,8 @@ class PicoPose(nn.Module):
         self.affine_regressor = AffineRegressor(name="affine_regressor")
         self.dpt_head = DPTHead(in_channels=cfg.embed_dim, name="dpt_head")
         self.flow_decoder = FlowDecoder(
-            self.num_levels, self.radius, name="flow_decoder"
+            self.num_levels, self.radius, quantize=self.quantize_stage3,
+            name="flow_decoder",
         )
 
     def features(self, images: jnp.ndarray) -> list[jnp.ndarray]:

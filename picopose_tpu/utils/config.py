@@ -55,6 +55,11 @@ class ModelConfig:
     # ViT-L training step in one 16 GB chip (18.3 GB without) for ~1
     # extra forward of FLOPs.  No effect on inference.
     remat_vit: bool = False
+    # opt-in int8-MXU stage-3 convs (dynamic symmetric quantization,
+    # ops/qconv.py).  ~1% conv-output error vs the reference's float
+    # convs; OFF until A/B'd on real BOP data (same policy as
+    # PICOPOSE_MATCH_INT8).
+    quantize_stage3: bool = False
 
 
 @dataclass

@@ -70,6 +70,7 @@ def main():
         num_levels=cfg.model.num_levels,
         radius=cfg.model.radius,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
+        quantize_stage3=cfg.model.quantize_stage3,
     )
 
     log_dir = os.path.join("log", args.model, f"version_{args.version_id}")

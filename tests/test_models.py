@@ -122,6 +122,51 @@ class TestHeads:
             (2, 16, 16, 1), (2, 32, 32, 1), (2, 64, 64, 1),
         ]
 
+    def test_quantized_conv_close_to_float(self, rng):
+        """ops/qconv.py QConv: same param tree as nn.Conv, ~1% error."""
+        import flax.linen as nn
+        from picopose_tpu.ops.qconv import QConv
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)).astype(np.float32))
+        q = QConv(32, (3, 3), padding=1)
+        f = nn.Conv(32, (3, 3), padding=1)
+        variables = f.init(jax.random.PRNGKey(0), x)
+        # identical parameter structure (porter/exporter compatibility)
+        assert jax.tree_util.tree_structure(
+            q.init(jax.random.PRNGKey(0), x)
+        ) == jax.tree_util.tree_structure(variables)
+        yf = f.apply(variables, x)
+        yq = q.apply(variables, x)
+        rel = float(
+            jnp.linalg.norm(yq - yf) / (jnp.linalg.norm(yf) + 1e-9)
+        )
+        assert rel < 0.02, rel
+
+    def test_flow_decoder_quantized_close_to_float(self, rng):
+        """The int8 serving mode shares weights with the float path and
+        tracks it to a few percent through the whole 3-level decoder."""
+        feats = [
+            jnp.asarray(rng.normal(size=(2, s, s, 256)).astype(np.float32))
+            for s in (16, 32, 64)
+        ]
+        flow0 = jnp.zeros((2, 16, 16, 2))
+        cert0 = jnp.zeros((2, 16, 16, 1))
+        m_f = FlowDecoder(num_levels=3, radius=4, quantize=False)
+        m_q = FlowDecoder(num_levels=3, radius=4, quantize=True)
+        variables = m_f.init(jax.random.PRNGKey(0), feats, feats, flow0, cert0)
+        flows_f, certs_f = m_f.apply(variables, feats, feats, flow0, cert0)
+        flows_q, certs_q = m_q.apply(variables, feats, feats, flow0, cert0)
+        for ff, fq in zip(flows_f, flows_q):
+            rel = float(
+                jnp.linalg.norm(fq - ff) / (jnp.linalg.norm(ff) + 1e-9)
+            )
+            assert rel < 0.08, rel
+        for cf, cq in zip(certs_f, certs_q):
+            rel = float(
+                jnp.linalg.norm(cq - cf) / (jnp.linalg.norm(cf) + 1e-9)
+            )
+            assert rel < 0.08, rel
+
     def test_flow_decoder_batchnorm_updates(self, rng):
         m = FlowDecoder(num_levels=1, radius=4)
         feats = [jnp.asarray(rng.normal(size=(2, 16, 16, 256)).astype(np.float32))]
