@@ -60,6 +60,8 @@ def main(
     hyp: int = 5,
     iters: int = 10,
     vit: str = "dinov2_vitl14",
+    stage3_topk: int | None = None,
+    quantize_stage3: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -69,7 +71,9 @@ def main(
     from picopose_tpu.models.dinov2 import VIT_CONFIGS
 
     taps = {"dinov2_vitl14": (5, 11, 17, 23), "dinov2_vits14": (1, 3, 5, 7)}[vit]
-    model = PicoPose(vit_type=vit, blocks_to_take=taps)
+    model = PicoPose(
+        vit_type=vit, blocks_to_take=taps, quantize_stage3=quantize_stage3
+    )
     rng = np.random.default_rng(0)
 
     imgs0 = jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -119,13 +123,14 @@ def main(
     flops = 0.0
     try:
         compiled = run_batch_jit.lower(
-            model, variables, batch_data, bank, key, hyp=hyp
+            model, variables, batch_data, bank, key, hyp=hyp,
+            stage3_topk=stage3_topk,
         ).compile()
         exec_fn = lambda v, b, bk, k: compiled(v, b, bk, k)
     except Exception:
         compiled = None
         exec_fn = lambda v, b, bk, k: run_batch_jit(
-            model, v, b, bk, k, hyp=hyp
+            model, v, b, bk, k, hyp=hyp, stage3_topk=stage3_topk
         )
     if compiled is not None:
         # guarded separately: a cost_analysis() failure must not discard the
@@ -281,6 +286,12 @@ def main(
                 "batch": batch,
                 "hyp": hyp,
                 "views": views,
+                **(
+                    {"stage3_topk": stage3_topk}
+                    if stage3_topk is not None
+                    else {}
+                ),
+                **({"quantize_stage3": True} if quantize_stage3 else {}),
                 "checksum": round(acc, 3),
             }
         )
@@ -435,6 +446,15 @@ if __name__ == "__main__":
         help="ViT activation remat (required for --mode train --batch 32 "
         "on a 16 GB chip)",
     )
+    p.add_argument(
+        "--topk", type=int, default=None,
+        help="stage3_topk serving mode (refine only the k best-matching "
+        "hypotheses; changes ranking semantics vs the reference)",
+    )
+    p.add_argument(
+        "--quant", action="store_true",
+        help="int8-MXU stage-3 convs (opt-in serving mode; changes numerics)",
+    )
     a = p.parse_args()
     if a.mode == "train":
         # BASELINE config (4) is the train step @ batch 32: bench.py
@@ -446,4 +466,7 @@ if __name__ == "__main__":
     elif a.mode == "bank":
         main_bank(a.views, a.vit)
     else:
-        main(a.batch, a.views, a.hyp, a.iters, a.vit)
+        main(
+            a.batch, a.views, a.hyp, a.iters, a.vit,
+            stage3_topk=a.topk, quantize_stage3=a.quant,
+        )

@@ -28,6 +28,13 @@ def main():
     args = get_parser().parse_args()
 
     import jax
+
+    if os.environ.get("PICOPOSE_FORCE_CPU"):
+        # test/debug hook (same as run_test.py): this environment's
+        # sitecustomize force-selects the TPU platform via jax config, so an
+        # env var alone can't override it
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from picopose_tpu.models import PicoPose

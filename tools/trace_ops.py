@@ -24,11 +24,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_and_trace(batch: int, hyp: int, views: int, vit: str):
+def _build(batch: int, hyp: int, views: int, vit: str):
+    """(model, variables, batch_data, bank, key) at the requested shapes."""
     import jax
     import jax.numpy as jnp
 
-    from picopose_tpu.eval.pipeline import TemplateBank, run_batch_jit
+    from picopose_tpu.eval.pipeline import TemplateBank
     from picopose_tpu.models import PicoPose
     from picopose_tpu.models.dinov2 import VIT_CONFIGS
 
@@ -86,6 +87,16 @@ def build_and_trace(batch: int, hyp: int, views: int, vit: str):
         ),
     }
     key = jax.random.PRNGKey(1)
+    return model, variables, batch_data, bank, key
+
+
+def build_and_trace(batch: int, hyp: int, views: int, vit: str):
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.eval.pipeline import run_batch_jit
+
+    model, variables, batch_data, bank, key = _build(batch, hyp, views, vit)
     out = run_batch_jit(model, variables, batch_data, bank, key, hyp=hyp)
     _ = float(out.inlier_ratio.sum())
 
@@ -102,6 +113,40 @@ def build_and_trace(batch: int, hyp: int, views: int, vit: str):
         _ = float(o.inlier_ratio.sum())
     jax.profiler.stop_trace()
     return sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))[-1]
+
+
+def dump_fusions(batch: int, hyp: int, views: int, vit: str, names: list[str]):
+    """Print the optimized-HLO definitions of the named ops (e.g. from the
+    trace's top list) so 'fusion.456' becomes attributable to a model stage."""
+    from picopose_tpu.eval.pipeline import run_batch_jit
+
+    model, variables, batch_data, bank, key = _build(batch, hyp, views, vit)
+    compiled = run_batch_jit.lower(
+        model, variables, batch_data, bank, key, hyp=hyp
+    ).compile()
+    text = compiled.as_text()
+    want = set(names)
+    lines = text.splitlines()
+    for i, ln in enumerate(lines):
+        m = re.search(r"%?([\w.\-]+) = .*(fusion|custom-call)", ln)
+        if m and m.group(1) in want:
+            print(f"----- {m.group(1)} -----")
+            print(ln.strip()[:600])
+            # print the called computation's body if present
+            cm = re.search(r"calls=%?([\w.\-]+)", ln)
+            if cm:
+                comp = cm.group(1)
+                start = next(
+                    (j for j, l2 in enumerate(lines)
+                     if re.match(rf"%?{re.escape(comp)}\b", l2.strip())),
+                    None,
+                )
+                if start is not None:
+                    for l2 in lines[start : start + 40]:
+                        print("   ", l2.rstrip()[:240])
+                        if l2.strip() == "}":
+                            break
+            print()
 
 
 CATEGORIES = [
@@ -132,7 +177,19 @@ def main():
     p.add_argument("--vit", default="dinov2_vitl14")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--trace", help="reuse an existing trace.json.gz")
+    p.add_argument(
+        "--fusions",
+        help="comma-separated op names: print their optimized-HLO "
+        "definitions instead of tracing",
+    )
     args = p.parse_args()
+
+    if args.fusions:
+        dump_fusions(
+            args.batch, args.hyp, args.views, args.vit,
+            args.fusions.split(","),
+        )
+        return
 
     tf = args.trace or build_and_trace(
         args.batch, args.hyp, args.views, args.vit
