@@ -142,6 +142,11 @@ def main():
         extra_set=("model.stage3_topk=1",),
     )
     print("trained stage3_topk=1:", json.dumps(trained_topk1))
+    trained_quant = eval_and_score(
+        root, args.version, "trained_quant",
+        extra_set=("model.quantize_stage3=true",),
+    )
+    print("trained quantize_stage3:", json.dumps(trained_quant))
 
     summary = {
         "steps": args.steps,
@@ -149,6 +154,7 @@ def main():
         "ar_trained": trained,
         "ar_trained_int8_matching": trained_int8,
         "ar_trained_stage3_topk1": trained_topk1,
+        "ar_trained_quantize_stage3": trained_quant,
     }
     with open(os.path.join(root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -86,6 +86,7 @@ class PoseEstimator:
         n_template_view: int = 162,
         pnp_iters: int = 150,
         stage3_topk: int | None = None,
+        quantize_stage3: bool = False,
         max_batch: int = 16,
         img_size: int = 224,
         pts_size: int = 64,
@@ -103,6 +104,7 @@ class PoseEstimator:
             vit_type=vit_type,
             blocks_to_take=tuple(blocks_to_take),
             compute_dtype=compute_dtype,
+            quantize_stage3=quantize_stage3,
         )
         self.hyp = hyp
         self.n_template_view = n_template_view
