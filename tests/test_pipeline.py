@@ -135,6 +135,37 @@ class TestFullPipeline:
         )
         return model, variables, bank
 
+    @pytest.mark.skipif(
+        jax.default_backend() == "cpu",
+        reason="XLA CPU takes >18 min just to COMPILE int8 convs at "
+        "pipeline shapes (measured); device path is covered by "
+        "`bench.py --quant`, decoder numerics by test_models.py",
+    )
+    def test_run_batch_quantized(self, views, model_and_bank):
+        """quantize_stage3 integrates through the folded-hypothesis
+        pipeline: same weights, int8 stage-3 convs, valid ranked output."""
+        model, variables, bank = model_and_bank
+        _, qry = views
+        qmodel = PicoPose(
+            **SMALL, compute_dtype=jnp.float32, quantize_stage3=True
+        )
+        batch = {
+            "real_rgb": jnp.asarray(qry.rgb)[None],
+            "real_mask": jnp.asarray(qry.mask)[None],
+            "real_M": jnp.asarray(qry.M)[None],
+            "real_K": jnp.asarray(qry.K)[None],
+            "real_pts2d": jnp.asarray(query_pts2d(qry.M))[None],
+        }
+        out = run_batch_jit(
+            qmodel, variables, batch, bank, jax.random.PRNGKey(1),
+            hyp=2, pnp_iters=16,
+        )
+        assert out.R.shape == (1, 2, 3, 3)
+        assert np.isfinite(np.asarray(out.R)).all()
+        assert np.isfinite(np.asarray(out.t)).all()
+        ratios = np.asarray(out.inlier_ratio[0])
+        assert (np.diff(ratios) <= 1e-6).all()
+
     def test_run_batch(self, views, model_and_bank):
         model, variables, bank = model_and_bank
         _, qry = views
