@@ -22,8 +22,9 @@ import jax
 import numpy as np
 
 from picopose_tpu.data.megapose import MegaPoseTrainingDataset, collate
-from picopose_tpu.parallel.mesh import make_mesh, replicated, shard_batch
-from picopose_tpu.train.step import init_state, make_optimizer, train_step
+from picopose_tpu.parallel.mesh import make_mesh, shard_batch
+from picopose_tpu.parallel.shardings import shard_state, state_shardings
+from picopose_tpu.train.step import init_state, make_optimizer, make_train_step
 from picopose_tpu.utils import checkpoint as ckpt
 from picopose_tpu.utils.logging import TrainLogger
 
@@ -98,12 +99,22 @@ def run_training(
     )
 
     n_dev = cfg.trainer.n_devices
-    mesh = make_mesh(n_data=None if n_dev == -1 else n_dev)
+    n_model = cfg.trainer.n_model
+    mesh = make_mesh(
+        n_data=None if n_dev == -1 else n_dev, n_model=n_model
+    )
     state = init_state(
         model, tx, jax.random.PRNGKey(cfg.trainer.rd_seed),
         batch_size=1, crop=cfg.train_dataset.img_size,
     )
-    state = jax.device_put(state, replicated(mesh))
+    # parallel mode (trainer.parallel): 'ddp' replicates state (the
+    # reference's NCCL-DDP semantics); 'fsdp'/'tp'/'fsdp_tp' shard
+    # parameters + optimizer moments over the mesh (parallel/shardings.py)
+    state = shard_state(state, mesh, cfg.trainer.parallel)
+    step_fn = make_train_step(
+        model, tx,
+        state_shardings(mesh, state, cfg.trainer.parallel), mesh,
+    )
 
     mgr = ckpt.manager(log_dir)
     if resume and mgr.latest_step() is not None:
@@ -140,7 +151,7 @@ def run_training(
                 sharded = shard_batch(
                     {k: jax.numpy.asarray(v) for k, v in batch.items()}, mesh
                 )
-                state, losses = train_step(model, tx, state, sharded, sub)
+                state, losses = step_fn(state, sharded, sub)
                 step += 1
                 # deferred logging: no host sync until the print boundary
                 # (reference cadence: utils/logging.py:149-155)

@@ -222,6 +222,43 @@ def train_step(model, tx, state: TrainState, batch, key):
     )
 
 
+def make_train_step(model, tx, state_shardings=None, mesh=None):
+    """Jit the step with explicit output shardings.
+
+    With `state_shardings` (a TrainState-shaped NamedSharding tree from
+    parallel/shardings.py) the updated state is pinned to the same layout
+    every step — required for fsdp/tp modes, where XLA's propagation from
+    donated inputs is not otherwise guaranteed to round-trip the sharded
+    layout.  Loss scalars are pinned replicated.  Signature of the returned
+    fn: (state, batch, key) -> (new_state, losses).
+    """
+
+    def _step(state: TrainState, batch, key):
+        def loss_fn(params):
+            losses, new_stats = forward_train(
+                model, params, state.batch_stats, batch, key
+            )
+            return losses["loss"], (losses, new_stats)
+
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, new_params, new_stats, new_opt),
+            losses,
+        )
+
+    if state_shardings is None:
+        return jax.jit(_step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    assert mesh is not None, "mesh required alongside state_shardings"
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(
+        _step, donate_argnums=(0,), out_shardings=(state_shardings, rep)
+    )
+
+
 def init_state(model, tx, key, batch_size: int = 2, crop: int = 224) -> TrainState:
     imgs = jnp.zeros((batch_size, crop, crop, 3), jnp.float32)
     masks = jnp.ones((batch_size, crop, crop), jnp.float32)

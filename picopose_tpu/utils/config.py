@@ -20,6 +20,10 @@ class TrainerConfig:
     training_epoch: int = 10
     iters_to_print: int = 100
     n_devices: int = -1  # -1: all local devices (the 'data' mesh axis)
+    # parameter/optimizer sharding: ddp | fsdp | tp | fsdp_tp
+    # (parallel/shardings.py; the reference is ddp-only, base.yaml:5-7)
+    parallel: str = "ddp"
+    n_model: int = 1  # size of the 'model' mesh axis (tp modes)
 
 
 @dataclass

@@ -34,6 +34,36 @@ class TestOrbaxRoundTrip:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_restore_into_fsdp_sharded_template(self, tmp_path, rng):
+        """A checkpoint written replicated (ddp) restores into an
+        fsdp-sharded template: values identical, restored leaves carry the
+        template's distributed layout — so `resume` works across
+        trainer.parallel mode changes (docs/SCALING.md)."""
+        from picopose_tpu.models import AffineRegressor
+        from picopose_tpu.parallel.mesh import make_mesh
+        from picopose_tpu.parallel.shardings import shard_state
+        from picopose_tpu.train.step import TrainState, make_optimizer
+
+        m = AffineRegressor()
+        sim = jnp.asarray(rng.normal(size=(1, 16, 16, 256)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), sim)["params"]
+        tx = make_optimizer(max_iters=10)
+        state = TrainState(jnp.asarray(3, jnp.int32), params, {}, tx.init(params))
+
+        mgr = ckpt.manager(str(tmp_path))
+        ckpt.save(mgr, 3, state)
+        mgr.wait_until_finished()
+
+        mesh = make_mesh(n_data=8)
+        template = shard_state(
+            jax.tree.map(jnp.zeros_like, state), mesh, "fsdp"
+        )
+        restored = ckpt.restore(mgr, None, template)
+        big = max(jax.tree.leaves(restored.params), key=lambda l: l.size)
+        assert big.addressable_shards[0].data.size < big.size
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_keep_all_like_reference(self, tmp_path, rng):
         """save_top_k=-1 equivalent: every step retained (run_train.py:101)."""
         from picopose_tpu.train.step import TrainState
