@@ -16,6 +16,12 @@ Crops/batches are padded to a fixed `max_batch` so repeated calls reuse
 the single compiled executable (XLA retraces on shape change); detections
 for several objects in one call are grouped per object bank, exactly like
 the offline runner (eval/runner.py).
+
+Multi-chip serving: pass `devices=jax.local_devices()` (or any subset) and
+object banks are placed round-robin across them with a model replica per
+chip — HBM capacity for resident banks scales linearly, and because jax
+dispatch is async, per-object batches for banks on different chips execute
+concurrently.  Single jitted program per chip, no collectives.
 """
 
 from __future__ import annotations
@@ -93,6 +99,7 @@ class PoseEstimator:
         min_mask_px: int = 8,
         rgb_mask_flag: bool = False,
         seed: int = 0,
+        devices: Sequence[Any] | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -117,6 +124,11 @@ class PoseEstimator:
         self.rgb_mask_flag = rgb_mask_flag
         self._key = jax.random.PRNGKey(seed)
         self._banks: dict[int, Any] = {}
+        # multi-chip: round-robin bank placement + one model replica per
+        # device.  None = single default device (replicas dict stays lazy).
+        self._devices = list(devices) if devices else None
+        self._bank_device: dict[int, Any] = {}
+        self._var_replicas: dict[Any, Any] = {}
 
         if variables is not None:
             self.variables = variables
@@ -140,6 +152,29 @@ class PoseEstimator:
 
     # ---- object registration -------------------------------------------
 
+    def _next_device(self):
+        """Round-robin placement device for the next bank (None = default)."""
+        if not self._devices:
+            return None
+        return self._devices[len(self._banks) % len(self._devices)]
+
+    def _vars_on(self, dev):
+        """Model replica on `dev` (lazily materialized, one per chip)."""
+        if dev is None:
+            return self.variables
+        if dev not in self._var_replicas:
+            import jax
+
+            self._var_replicas[dev] = jax.device_put(self.variables, dev)
+        return self._var_replicas[dev]
+
+    def _put(self, x, dev):
+        if dev is None:
+            return self._jnp.asarray(x)
+        import jax
+
+        return jax.device_put(self._jnp.asarray(x), dev)
+
     def register_object(self, obj_id: int, template_dir: str) -> None:
         """Build and cache the template bank from a rendered-template dir
         (layout: <dir>/<obj:06d>/*.png + <dir>/object_poses/<obj:06d>.npy,
@@ -147,21 +182,28 @@ class PoseEstimator:
         from picopose_tpu.data.bop import load_template_views
         from picopose_tpu.eval.pipeline import build_bank
 
-        jnp = self._jnp
         tem = load_template_views(
             template_dir, obj_id, self.n_template_view,
             self.img_size, self.pts_size, self.rgb_mask_flag,
         )
+        dev = self._next_device()
         self._banks[obj_id] = build_bank(
-            self.model, self.variables,
-            jnp.asarray(tem["tem_rgb"]), jnp.asarray(tem["tem_mask"]),
-            jnp.asarray(tem["tem_pts3d"]), jnp.asarray(tem["tem_pose"]),
-            jnp.asarray(tem["tem_K"]), jnp.asarray(tem["tem_M"]),
+            self.model, self._vars_on(dev),
+            self._put(tem["tem_rgb"], dev), self._put(tem["tem_mask"], dev),
+            self._put(tem["tem_pts3d"], dev), self._put(tem["tem_pose"], dev),
+            self._put(tem["tem_K"], dev), self._put(tem["tem_M"], dev),
         )
+        self._bank_device[obj_id] = dev
 
     def register_bank(self, obj_id: int, bank) -> None:
         """Cache a prebuilt TemplateBank (e.g. shared across processes)."""
+        dev = self._next_device()
+        if dev is not None:
+            import jax
+
+            bank = jax.device_put(bank, dev)
         self._banks[obj_id] = bank
+        self._bank_device[obj_id] = dev
 
     @property
     def objects(self) -> list[int]:
@@ -220,7 +262,7 @@ class PoseEstimator:
                 if n_dpt
                 else None
             )
-            self._banks[obj_id] = TemplateBank(
+            bank = TemplateBank(
                 feats=feats,
                 mask=jnp.asarray(z["mask"]),
                 pts3d=jnp.asarray(z["pts3d"]),
@@ -229,6 +271,13 @@ class PoseEstimator:
                 M=jnp.asarray(z["M"]),
                 dpt=dpt,
             )
+            dev = self._next_device()
+            if dev is not None:
+                import jax
+
+                bank = jax.device_put(bank, dev)
+            self._banks[obj_id] = bank
+            self._bank_device[obj_id] = dev
             loaded.append(obj_id)
         return loaded
 
@@ -289,12 +338,16 @@ class PoseEstimator:
             per_obj.setdefault(obj, []).append(i)
 
         results: list[PoseResult | None] = [None] * len(detections)
+        # dispatch every chunk first (async; chunks whose banks live on
+        # different chips execute concurrently), then fetch
+        pending: list[tuple[list[int], int, Any]] = []
         for obj, idxs in per_obj.items():
             bank = self._banks[obj]
+            dev = self._bank_device.get(obj)
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s : s + self.max_batch]
                 insts = [self._decode(rgb, K, detections[i]) for i in chunk]
-                B, pad = len(chunk), self.max_batch - len(chunk)
+                pad = self.max_batch - len(chunk)
                 batch = {}
                 for name in ("rgb", "mask", "M", "K", "pts2d"):
                     arr = np.stack([inst[name] for inst in insts])
@@ -302,21 +355,23 @@ class PoseEstimator:
                         arr = np.concatenate(
                             [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
                         )
-                    batch[f"real_{name}"] = jnp.asarray(arr)
+                    batch[f"real_{name}"] = self._put(arr, dev)
                 self._key, sub = jax.random.split(self._key)
                 out = run_batch_jit(
-                    self.model, self.variables, batch, bank, sub,
+                    self.model, self._vars_on(dev), batch, bank, sub,
                     hyp=self.hyp, pnp_iters=self.pnp_iters,
                     stage3_topk=self.stage3_topk,
                 )
-                out = jax.tree.map(np.asarray, out)
-                for bi, i in enumerate(chunk):
-                    results[i] = PoseResult(
-                        obj_id=obj,
-                        R=out.R[bi, 0],
-                        t=out.t[bi, 0],
-                        score=float(out.inlier_ratio[bi, 0]),
-                        success=bool(out.pnp_success[bi, 0]),
-                        template_score=float(out.template_score[bi, 0]),
-                    )
+                pending.append((chunk, obj, out))
+        for chunk, obj, out in pending:
+            out = jax.tree.map(np.asarray, out)
+            for bi, i in enumerate(chunk):
+                results[i] = PoseResult(
+                    obj_id=obj,
+                    R=out.R[bi, 0],
+                    t=out.t[bi, 0],
+                    score=float(out.inlier_ratio[bi, 0]),
+                    success=bool(out.pnp_success[bi, 0]),
+                    template_score=float(out.template_score[bi, 0]),
+                )
         return results  # type: ignore[return-value]

@@ -120,6 +120,8 @@ class TestPoseEstimator:
         est2 = PoseEstimator.__new__(PoseEstimator)  # skip weight init
         est2._banks = {}
         est2._jnp = jnp
+        est2._devices = None
+        est2._bank_device = {}
         assert est2.load_banks(str(tmp_path)) == [1]
         a, b = estimator._banks[1], est2._banks[1]
         for i in range(4):
@@ -131,3 +133,45 @@ class TestPoseEstimator:
         np.testing.assert_array_equal(np.asarray(a.pts3d), np.asarray(b.pts3d))
         if a.dpt is not None:
             assert b.dpt is not None and len(a.dpt) == len(b.dpt)
+
+
+class TestMultiDeviceServing:
+    def test_round_robin_bank_placement(self, estimator, world):
+        """devices=[d0, d1]: banks land on alternating chips, each chip gets
+        a model replica, and estimates for objects on different chips both
+        come back valid (dispatched concurrently, fetched after)."""
+        import jax
+        from picopose_tpu.serve import PoseEstimator
+
+        devs = jax.devices()[:2]
+        assert len(devs) == 2, "conftest provides 8 virtual devices"
+        with pytest.warns(UserWarning, match="RANDOM weights"):
+            est = PoseEstimator(
+                vit_type="dinov2_vits14",
+                blocks_to_take=(1, 3, 5, 7),
+                compute_dtype="float32",
+                hyp=2,
+                n_template_view=6,
+                pnp_iters=30,
+                max_batch=2,
+                devices=devs,
+            )
+        est.register_object(1, world["bank_dir"])
+        est.register_bank(2, estimator._banks[1])  # same views, new id
+        assert est._bank_device[1] == devs[0]
+        assert est._bank_device[2] == devs[1]
+        for obj in (1, 2):
+            bank = est._banks[obj]
+            assert list(bank.feats[-1].devices()) == [est._bank_device[obj]]
+
+        rgb = world["rgba"][0][..., :3]
+        mask = (world["rgba"][0][..., 3] > 0).astype(np.uint8)
+        out = est.estimate(
+            rgb, K, [{"obj_id": 1, "mask": mask}, {"obj_id": 2, "mask": mask}]
+        )
+        assert [r.obj_id for r in out] == [1, 2]
+        for r in out:
+            np.testing.assert_allclose(r.R @ r.R.T, np.eye(3), atol=1e-4)
+            assert np.isfinite(r.t).all()
+        # one model replica per used chip
+        assert set(est._var_replicas) == set(devs)
