@@ -36,10 +36,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MODES = ("ddp", "fsdp", "tp", "fsdp_tp")
 
-# Megatron split for the transformer blocks (dinov2.py): column-parallel
-# into the nonlinearity, row-parallel out of it.  Keyed on the flax param
-# path; the same module names appear inside optax moment trees (mu/nu are
-# params-shaped dicts), so one rule table covers both.
+# Megatron split: column-parallel into the nonlinearity, row-parallel out
+# of it.  Keyed on the flax param path; the same module names appear inside
+# optax moment trees (mu/nu are params-shaped dicts), so one rule table
+# covers both.  Matches the ViT blocks (dinov2.py qkv/proj/fc1/fc2/w12/w3)
+# AND the stage-2 MLP head (affine_head.py fc1->fc2) — the same consecutive
+# column->row pattern, intentionally included.
 #   kernel shapes are (in, out) for nn.Dense.
 _TP_COL = re.compile(r"(qkv|fc1|w12)/(kernel|bias)$")
 _TP_ROW = re.compile(r"(proj|fc2|w3)/kernel$")

@@ -90,6 +90,7 @@ def run_training(
         weight_decay=cfg.optimizer.weight_decay,
         opt_type=cfg.optimizer.type,
         schedule_type=cfg.lr_scheduler.type,
+        grad_accum=cfg.trainer.grad_accum,
     )
     sched = __import__(
         "picopose_tpu.train.step", fromlist=["warmup_cosine_schedule"]
@@ -154,8 +155,12 @@ def run_training(
                 state, losses = step_fn(state, sharded, sub)
                 step += 1
                 # deferred logging: no host sync until the print boundary
-                # (reference cadence: utils/logging.py:149-155)
-                logger.step_async(step, losses, float(sched(step)))
+                # (reference cadence: utils/logging.py:149-155).  With
+                # grad_accum the schedule advances once per effective step.
+                logger.step_async(
+                    step, losses,
+                    float(sched(step // cfg.trainer.grad_accum)),
+                )
                 if step >= total:
                     break
             logger.epoch(epoch, step)

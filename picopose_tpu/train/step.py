@@ -99,9 +99,18 @@ def make_optimizer(
     weight_decay: float = 5e-4,
     opt_type: str = "AdamW",
     schedule_type: str = "WarmupCosineLR",
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """Optimizer factory covering the reference's choices
-    (run_train.py:78-83: AdamW / Adam / SGD; config/base.yaml:9-20)."""
+    (run_train.py:78-83: AdamW / Adam / SGD; config/base.yaml:9-20).
+
+    grad_accum > 1 wraps the optimizer in optax.MultiSteps: gradients
+    accumulate over k micro-batches and the update (and the LR schedule)
+    advances once per k — effective batch = k × global batch without the
+    HBM of the larger batch.  Beyond the reference (which has no
+    accumulation; PL's accumulate_grad_batches is never configured).
+    `max_iters` then counts EFFECTIVE optimizer steps.
+    """
     if schedule_type == "WarmupCosineLR":
         lr = warmup_cosine_schedule(base_lr, max_iters, warmup_iters, warmup_factor)
     elif schedule_type == "PolyLR":
@@ -112,14 +121,18 @@ def make_optimizer(
         raise ValueError(f"unknown lr_scheduler type {schedule_type}")
 
     if opt_type == "AdamW":
-        return optax.adamw(
+        tx = optax.adamw(
             lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
         )
-    if opt_type == "Adam":
-        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
-    if opt_type == "SGD":
-        return optax.sgd(lr, momentum=betas[0])
-    raise ValueError(f"unknown optimizer type {opt_type}")
+    elif opt_type == "Adam":
+        tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    elif opt_type == "SGD":
+        tx = optax.sgd(lr, momentum=betas[0])
+    else:
+        raise ValueError(f"unknown optimizer type {opt_type}")
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def forward_train(model, params, batch_stats, batch, key):

@@ -24,6 +24,9 @@ class TrainerConfig:
     # (parallel/shardings.py; the reference is ddp-only, base.yaml:5-7)
     parallel: str = "ddp"
     n_model: int = 1  # size of the 'model' mesh axis (tp modes)
+    # accumulate gradients over k micro-batches before each optimizer
+    # step (optax.MultiSteps; 1 = off, the reference's behavior)
+    grad_accum: int = 1
 
 
 @dataclass

@@ -161,6 +161,34 @@ class TestTrainStepDeterminism:
             np.testing.assert_array_equal(a, b)
 
 
+class TestGradAccum:
+    def test_multisteps_accumulates_then_steps(self):
+        """make_optimizer(grad_accum=k): params move only every k-th call,
+        by one AdamW step on the MEAN of the k micro-gradients (the
+        effective-batch equivalence grad accumulation exists for)."""
+        import jax.numpy as jnp
+
+        from picopose_tpu.train.step import make_optimizer
+
+        params = {"w": jnp.ones((4,), jnp.float32)}
+        g1 = {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0], jnp.float32)}
+        g2 = {"w": jnp.asarray([0.0, 4.0, -1.5, 1.0], jnp.float32)}
+
+        acc = make_optimizer(max_iters=100, grad_accum=2)
+        s = acc.init(params)
+        up1, s = acc.update(g1, s, params)
+        assert np.all(np.asarray(up1["w"]) == 0.0), "stepped mid-accumulation"
+        up2, s = acc.update(g2, s, params)
+
+        ref = make_optimizer(max_iters=100)
+        rs = ref.init(params)
+        mean_g = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+        ref_up, _ = ref.update(mean_g, rs, params)
+        np.testing.assert_allclose(
+            np.asarray(up2["w"]), np.asarray(ref_up["w"]), rtol=1e-6
+        )
+
+
 class TestSchedulesAndOptimizers:
     def test_warmup_cosine_values(self):
         from picopose_tpu.train.step import warmup_cosine_schedule
