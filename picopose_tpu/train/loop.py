@@ -73,6 +73,107 @@ def prefetch_batches(
         stop.set()
 
 
+def _graft_tree(old, new, what: str, subset: bool = False):
+    """Return `old`'s pytree filled with `new`'s leaves, matched by key path.
+
+    `new` is a (possibly nested) plain-dict tree.  With subset=False every
+    leaf of `old` must be covered; with subset=True only the paths present
+    in `new` are replaced.  Raises ValueError on unknown paths or shape
+    mismatches (e.g. a checkpoint for a different vit_type)."""
+    import flax
+
+    flat_new = flax.traverse_util.flatten_dict(flax.core.unfreeze(new))
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(old)
+
+    def pkey(path):
+        return tuple(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+
+    old_paths = [pkey(p) for p, _ in paths_leaves]
+    old_set = set(old_paths)
+    extra = [k for k in flat_new if tuple(map(str, k)) not in old_set]
+    missing = (
+        [] if subset else [k for k in old_paths if k not in flat_new]
+    )
+    if missing or extra:
+        raise ValueError(
+            f"{what}: checkpoint layout mismatch (missing "
+            f"{missing[:3]}{'…' if len(missing) > 3 else ''}, unexpected "
+            f"{extra[:3]}{'…' if len(extra) > 3 else ''})"
+        )
+    leaves = []
+    for (path, v), kp in zip(paths_leaves, old_paths):
+        if kp not in flat_new:
+            leaves.append(v)
+            continue
+        nv = flat_new[kp]
+        if tuple(np.shape(nv)) != tuple(np.shape(v)):
+            raise ValueError(
+                f"{what}: shape mismatch at {'/'.join(kp)}: checkpoint "
+                f"{tuple(np.shape(nv))} vs model {tuple(np.shape(v))}"
+            )
+        leaves.append(jax.numpy.asarray(nv, dtype=v.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def warm_start(state, path: str, num_levels: int = 3):
+    """Initialize model weights from a checkpoint before training starts.
+
+    Covers the reference's two pretrained entry points: a FULL PicoPose
+    checkpoint — an orbax step dir or the reference's Lightning .ckpt,
+    ported (run_test.py:240-245 load semantics) — or raw torch-hub DINOv2
+    BACKBONE weights (.pth), the reference's `pretrained: True` warm start
+    (model/stage1/feature_extractor.py:27,73-77); the backbone case leaves
+    every non-ViT parameter at its fresh init.  Optimizer state and the
+    step counter stay fresh either way; layouts and shapes are validated
+    so a checkpoint for a different vit_type fails loudly."""
+    import os
+
+    vit = state.params["feature_extractor"]["dinov2"]
+    depth = sum(1 for k in vit if str(k).startswith("blocks_"))
+
+    backbone_only = False
+    if os.path.isdir(path):
+        variables = ckpt.load_any(path, depth=depth)
+    else:
+        from picopose_tpu.utils.torch_port import (
+            load_torch_checkpoint,
+            port_dinov2,
+            port_picopose,
+            to_numpy_state_dict,
+        )
+
+        raw = load_torch_checkpoint(path)
+        sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        keys = [str(k) for k in sd]
+        if any(
+            k.startswith(("network.", "feature_extractor.")) for k in keys
+        ):
+            variables = port_picopose(raw, depth=depth, num_levels=num_levels)
+        elif any(k.startswith("patch_embed.proj.") for k in keys):
+            backbone_only = True
+            ported = port_dinov2(to_numpy_state_dict(sd), depth)["dinov2"]
+            variables = {
+                "params": {"feature_extractor": {"dinov2": ported}}
+            }
+        else:
+            raise ValueError(
+                f"{path}: neither a PicoPose checkpoint nor DINOv2 backbone "
+                "weights (no recognizable keys)"
+            )
+
+    params = _graft_tree(
+        state.params, variables["params"],
+        "warm_start params", subset=backbone_only,
+    )
+    stats = state.batch_stats
+    new_stats = variables.get("batch_stats")
+    if new_stats and jax.tree_util.tree_leaves(stats):
+        stats = _graft_tree(stats, new_stats, "warm_start batch_stats")
+    return state._replace(params=params, batch_stats=stats)
+
+
 def run_training(
     cfg,
     model,
@@ -108,6 +209,16 @@ def run_training(
         model, tx, jax.random.PRNGKey(cfg.trainer.rd_seed),
         batch_size=1, crop=cfg.train_dataset.img_size,
     )
+    mgr = ckpt.manager(log_dir)
+    # weight warm start (trainer.init_checkpoint): pretrained DINOv2
+    # backbone or a full checkpoint to fine-tune; skipped when resuming
+    # (the orbax restore below overrides everything anyway)
+    init_ckpt = getattr(cfg.trainer, "init_checkpoint", None)
+    if init_ckpt and not (resume and mgr.latest_step() is not None):
+        state = warm_start(
+            state, str(init_ckpt), num_levels=cfg.model.num_levels
+        )
+        print(f"warm-started model weights from {init_ckpt}")
     # parallel mode (trainer.parallel): 'ddp' replicates state (the
     # reference's NCCL-DDP semantics); 'fsdp'/'tp'/'fsdp_tp' shard
     # parameters + optimizer moments over the mesh (parallel/shardings.py)
@@ -117,7 +228,6 @@ def run_training(
         state_shardings(mesh, state, cfg.trainer.parallel), mesh,
     )
 
-    mgr = ckpt.manager(log_dir)
     if resume and mgr.latest_step() is not None:
         state = ckpt.restore(mgr, None, state)
         print(f"resumed from step {int(state.step)}")

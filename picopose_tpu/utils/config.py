@@ -27,6 +27,11 @@ class TrainerConfig:
     # accumulate gradients over k micro-batches before each optimizer
     # step (optax.MultiSteps; 1 = off, the reference's behavior)
     grad_accum: int = 1
+    # weight warm start before training: a full PicoPose checkpoint
+    # (orbax step dir or reference .ckpt) or raw torch-hub DINOv2
+    # backbone weights — the reference's stage1 `pretrained: True`
+    # (train/loop.py::warm_start).  None = random init.
+    init_checkpoint: str | None = None
 
 
 @dataclass

@@ -18,6 +18,10 @@ def get_parser():
     p.add_argument("--version_id", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in the log dir")
+    p.add_argument("--init_checkpoint", default=None,
+                   help="warm-start weights: full PicoPose checkpoint "
+                        "(orbax dir / reference .ckpt) or raw DINOv2 "
+                        "backbone .pth (the reference's pretrained=True)")
     p.add_argument("--max_steps", type=int, default=None,
                    help="stop early (debug/smoke runs)")
     p.add_argument("--set", nargs="*", default=[], help="config overrides a.b=c")
@@ -42,6 +46,8 @@ def main():
     from picopose_tpu.utils.config import load_config
 
     cfg = load_config(args.config, args.set)
+    if args.init_checkpoint:
+        cfg.trainer.init_checkpoint = args.init_checkpoint
     model = PicoPose(
         vit_type=cfg.model.vit_type,
         blocks_to_take=tuple(cfg.model.blocks_to_take),

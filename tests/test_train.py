@@ -217,3 +217,79 @@ class TestSchedulesAndOptimizers:
         state = tx.init(params)
         upd, _ = tx.update({"w": jnp.ones(3)}, state, params)
         assert jax.tree.leaves(upd)[0].shape == (3,)
+
+
+class TestWarmStart:
+    """trainer.init_checkpoint: pretrained-weight warm starts
+    (the reference's stage1 pretrained=True / fine-tune-from-.ckpt)."""
+
+    def _state(self, seed):
+        from picopose_tpu.models import PicoPose
+        from picopose_tpu.train.step import init_state, make_optimizer
+
+        model = PicoPose(
+            vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7),
+            compute_dtype=jnp.float32,
+        )
+        tx = make_optimizer(max_iters=100)
+        return init_state(
+            model, tx, jax.random.PRNGKey(seed), batch_size=1, crop=112
+        )
+
+    @staticmethod
+    def _leaves_equal(a, b):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        return all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(la, lb))
+
+    def test_backbone_only_from_hub_pth(self, tmp_path):
+        import torch
+
+        from picopose_tpu.train.loop import warm_start
+        from picopose_tpu.utils.torch_export import export_dinov2
+
+        a, b = self._state(0), self._state(1)
+        sd = export_dinov2(a.params["feature_extractor"])
+        path = tmp_path / "dinov2.pth"
+        torch.save(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path
+        )
+        out = warm_start(b, str(path))
+        # ViT leaves come from a; every non-backbone leaf stays b's
+        assert self._leaves_equal(
+            out.params["feature_extractor"], a.params["feature_extractor"]
+        )
+        assert self._leaves_equal(
+            out.params["affine_regressor"], b.params["affine_regressor"]
+        )
+        assert int(out.step) == 0
+
+    def test_full_checkpoint_from_orbax_dir(self, tmp_path):
+        from picopose_tpu.train.loop import warm_start
+        from picopose_tpu.utils import checkpoint as ckpt
+
+        a, b = self._state(0), self._state(1)
+        mgr = ckpt.manager(str(tmp_path))
+        ckpt.save(mgr, 3, a)
+        mgr.wait_until_finished()
+        out = warm_start(b, str(tmp_path / "checkpoints" / "3"))
+        assert self._leaves_equal(out.params, a.params)
+        assert not self._leaves_equal(b.params, a.params)  # sanity
+        assert int(out.step) == 0  # fresh run, not a resume
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        import torch
+
+        from picopose_tpu.train.loop import warm_start
+        from picopose_tpu.utils.torch_export import export_dinov2
+
+        a, b = self._state(0), self._state(1)
+        sd = export_dinov2(a.params["feature_extractor"])
+        sd["cls_token"] = np.asarray(sd["cls_token"])[..., :8]  # wrong width
+        path = tmp_path / "bad.pth"
+        torch.save(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path
+        )
+        with pytest.raises(ValueError, match="shape mismatch"):
+            warm_start(b, str(path))
