@@ -153,7 +153,12 @@ def warm_start(state, path: str, num_levels: int = 3):
             variables = port_picopose(raw, depth=depth, num_levels=num_levels)
         elif any(k.startswith("patch_embed.proj.") for k in keys):
             backbone_only = True
-            ported = port_dinov2(to_numpy_state_dict(sd), depth)["dinov2"]
+            try:
+                ported = port_dinov2(
+                    to_numpy_state_dict(sd), depth, strict=True
+                )["dinov2"]
+            except ValueError as e:
+                raise ValueError(f"{path}: {e}") from None
             variables = {
                 "params": {"feature_extractor": {"dinov2": ported}}
             }

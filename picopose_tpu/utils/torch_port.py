@@ -22,6 +22,7 @@ torch is imported lazily — it is only ever needed on the host, once.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping
 
 import numpy as np
@@ -76,8 +77,54 @@ def to_numpy_state_dict(torch_state: Mapping[str, Any]) -> dict[str, np.ndarray]
     return out
 
 
-def port_dinov2(sd: Mapping[str, np.ndarray], depth: int, prefix: str = "") -> dict:
-    """torch DINOv2 state dict -> {'dinov2': ...} flax param subtree."""
+#: keys a torch-hub DINOv2 backbone checkpoint carries that the runtime model
+#: never uses: `mask_token` (masked-image-modeling only) and the final `norm`
+#: (the feature extractor taps raw block outputs — reference
+#: model/stage1/feature_extractor.py:93-109 applies no final norm).
+_DINOV2_BENIGN_UNCONSUMED = ("mask_token", "norm.weight", "norm.bias")
+
+
+class _TrackingMapping(dict):
+    """Records which keys `port_dinov2` actually consumed (strict mode)."""
+
+    def __init__(self, base: Mapping[str, Any]):
+        super().__init__(base)
+        self.used: set[str] = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+def dinov2_checkpoint_depth(sd: Mapping[str, Any], prefix: str = "") -> int:
+    """Number of transformer blocks present in a torch state dict."""
+    pat = re.compile(re.escape(prefix) + r"blocks\.(\d+)\.")
+    idxs = {int(m.group(1)) for k in sd if (m := pat.match(str(k)))}
+    return max(idxs) + 1 if idxs else 0
+
+
+def port_dinov2(
+    sd: Mapping[str, np.ndarray], depth: int, prefix: str = "", strict: bool = False
+) -> dict:
+    """torch DINOv2 state dict -> {'dinov2': ...} flax param subtree.
+
+    With ``strict=True`` (used when loading a standalone backbone checkpoint,
+    mirroring the reference's `load_state_dict(strict=True)` at
+    model/stage1/feature_extractor.py:73-77):
+      * a depth mismatch (e.g. vit-S weights into a vit-L model) raises a
+        contextual ValueError instead of a raw KeyError;
+      * unconsumed keys other than the known-benign set raise, so variants the
+        model cannot represent (e.g. `register_tokens` in *_reg4 checkpoints)
+        fail loudly instead of silently dropping parameters.
+    """
+    if strict:
+        ckpt_depth = dinov2_checkpoint_depth(sd, prefix)
+        if ckpt_depth != depth:
+            raise ValueError(
+                f"DINOv2 checkpoint has {ckpt_depth} transformer blocks but the "
+                f"model expects {depth} — wrong vit_type for this checkpoint"
+            )
+        sd = _TrackingMapping(sd)
     p = prefix
     tree: dict[str, Any] = {
         "cls_token": sd[f"{p}cls_token"].copy(),
@@ -107,6 +154,18 @@ def port_dinov2(sd: Mapping[str, np.ndarray], depth: int, prefix: str = "") -> d
                 "w3": _dense(sd, f"{b}.mlp.w3"),
             }
         tree[f"blocks_{i}"] = blk
+    if strict:
+        benign = {f"{p}{k}" for k in _DINOV2_BENIGN_UNCONSUMED}
+        leftover = sorted(
+            k for k in sd
+            if str(k).startswith(p) and k not in sd.used and k not in benign
+        )
+        if leftover:
+            raise ValueError(
+                f"DINOv2 checkpoint has {len(leftover)} parameter(s) the model "
+                f"cannot represent (would be silently dropped): "
+                f"{leftover[:8]}{'...' if len(leftover) > 8 else ''}"
+            )
     return {"dinov2": tree}
 
 

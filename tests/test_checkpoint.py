@@ -10,6 +10,8 @@ import torch
 
 from picopose_tpu.utils import checkpoint as ckpt
 
+pytestmark = pytest.mark.compileheavy
+
 
 class TestOrbaxRoundTrip:
     def test_save_restore_train_state(self, tmp_path, rng):

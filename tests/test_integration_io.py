@@ -16,9 +16,10 @@ import imageio.v2 as imageio
 
 from picopose_tpu.native import available as native_available
 
-pytestmark = pytest.mark.skipif(
-    not native_available(), reason="native rasterizer not built"
-)
+pytestmark = [
+    pytest.mark.skipif(not native_available(), reason="native rasterizer not built"),
+    pytest.mark.compileheavy,
+]
 
 K = np.array([[572.4114, 0, 320.0], [0, 573.57043, 240.0], [0, 0, 1.0]], np.float32)
 

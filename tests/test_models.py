@@ -15,6 +15,8 @@ from picopose_tpu.models import (
 )
 from picopose_tpu.models.dinov2 import VIT_CONFIGS, bicubic_resize_matrix
 
+pytestmark = pytest.mark.compileheavy
+
 # tiny ViT config for fast tests
 SMALL = dict(vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7))
 

@@ -22,6 +22,8 @@ from picopose_tpu.parallel.shardings import (
 )
 from picopose_tpu.train.step import init_state, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.compileheavy
+
 SMALL = dict(vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7))
 
 

@@ -25,6 +25,8 @@ from picopose_tpu.ops.pnp import ransac_pnp
 from picopose_tpu.train.keypoints import sample_keypoints
 from picopose_tpu.geom.affine import mmul
 
+pytestmark = pytest.mark.compileheavy
+
 SMALL = dict(vit_type="dinov2_vits14", blocks_to_take=(1, 3, 5, 7))
 RADIUS = 0.05
 

@@ -38,6 +38,8 @@ REF = "/root/reference"
 
 from tests.test_reference_parity import _install_mmcv_stub  # noqa: E402
 
+pytestmark = pytest.mark.compileheavy
+
 
 @pytest.fixture(scope="module")
 def ref_net():

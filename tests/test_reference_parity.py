@@ -29,6 +29,8 @@ import torch.nn as nn  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.compileheavy
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REF = "/root/reference"

@@ -25,6 +25,8 @@ from picopose_tpu.utils.torch_port import (
     to_numpy_state_dict,
 )
 
+pytestmark = pytest.mark.compileheavy
+
 torch.manual_seed(0)
 
 # Port-parity must compare true fp32 numerics; the backend's default matmul
@@ -178,6 +180,30 @@ class TestDinov2Port:
         )
         for tf, jf in zip(tfeats, jfeats):
             np.testing.assert_allclose(np.asarray(jf), tf, atol=2e-4)
+
+    def test_strict_depth_mismatch_is_contextual(self):
+        """vit-S-depth weights into a deeper model must raise a ValueError
+        naming both depths, not a raw KeyError (ADVICE r3)."""
+        sd = to_numpy_state_dict(TDino(dim=64, depth=4, heads=4).state_dict())
+        with pytest.raises(ValueError, match="4 transformer blocks.*expects 6"):
+            port_dinov2(sd, depth=6, strict=True)
+
+    def test_strict_rejects_unconsumed_keys(self):
+        """Keys the flax model cannot represent (e.g. register_tokens from a
+        *_reg4 checkpoint) must fail loudly, mirroring the reference's
+        load_state_dict(strict=True) (feature_extractor.py:73-77)."""
+        sd = to_numpy_state_dict(TDino(dim=64, depth=4, heads=4).state_dict())
+        sd["register_tokens"] = np.zeros((1, 4, 64), np.float32)
+        with pytest.raises(ValueError, match="register_tokens"):
+            port_dinov2(sd, depth=4, strict=True)
+
+    def test_strict_allows_benign_extras(self):
+        """mask_token and the unused final norm are known-benign leftovers."""
+        sd = to_numpy_state_dict(TDino(dim=64, depth=4, heads=4).state_dict())
+        sd["mask_token"] = np.zeros((1, 64), np.float32)
+        sd["norm.weight"] = np.ones((64,), np.float32)
+        sd["norm.bias"] = np.zeros((64,), np.float32)
+        port_dinov2(sd, depth=4, strict=True)  # must not raise
 
 
 class TestAffinePort:

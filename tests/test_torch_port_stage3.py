@@ -21,6 +21,8 @@ from picopose_tpu.utils.torch_port import (
     to_numpy_state_dict,
 )
 
+pytestmark = pytest.mark.compileheavy
+
 torch.manual_seed(0)
 jax.config.update("jax_default_matmul_precision", "highest")
 

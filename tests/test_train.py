@@ -93,6 +93,7 @@ class TestAugment:
         assert dt.max() <= 56.0 + 1e-3
 
 
+@pytest.mark.compileheavy
 class TestTrainStep:
     def test_one_step_reduces_nothing_but_runs(self, rng):
         """One full sharded train step on the virtual 8-device mesh: loss is
@@ -104,6 +105,7 @@ class TestTrainStep:
         ge.dryrun_multichip(8)
 
 
+@pytest.mark.compileheavy
 class TestTrainStepDeterminism:
     def test_same_seed_same_step_bitwise(self, rng):
         """Two train steps from independently-built identical states, same
@@ -161,6 +163,7 @@ class TestTrainStepDeterminism:
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.compileheavy
 class TestGradAccum:
     def test_multisteps_accumulates_then_steps(self):
         """make_optimizer(grad_accum=k): params move only every k-th call,
@@ -219,6 +222,7 @@ class TestSchedulesAndOptimizers:
         assert jax.tree.leaves(upd)[0].shape == (3,)
 
 
+@pytest.mark.compileheavy
 class TestWarmStart:
     """trainer.init_checkpoint: pretrained-weight warm starts
     (the reference's stage1 pretrained=True / fine-tune-from-.ckpt)."""
