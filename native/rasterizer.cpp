@@ -14,9 +14,18 @@
 // output RGBA uint8 (A = coverage) and depth uint16 in mm.
 //
 // Shading: Lambertian w.r.t. the camera direction plus an ambient floor, on
-// vertex colors when the mesh has them (BOP CAD models usually do) or a
-// neutral albedo otherwise — equivalent signal to the reference's
-// ambient-lit Panda3D renders for template matching purposes.
+// UV-sampled texture color when the mesh carries a texture (GSO/ShapeNet OBJ,
+// textured BOP PLYs — reference renders these through Panda3D:
+// rendering/src/custom_megapose/call_panda3d.py:29-60), else on vertex colors
+// when the mesh has them (most BOP CADs), else a neutral albedo — equivalent
+// signal to the reference's ambient-lit Panda3D renders for template matching.
+//
+// UVs are passed PER FACE CORNER ((n_faces, 3, 2) float32) rather than per
+// vertex: OBJ meshes index positions and texcoords independently, so a single
+// position vertex can carry different UVs on different faces; per-corner UVs
+// represent that without vertex duplication.  Texture sampling is
+// perspective-correct bilinear with repeat wrapping (v = 0 at the TOP row:
+// loaders flip OBJ's bottom-left-origin vt coordinates before the call).
 
 #include <algorithm>
 #include <atomic>
@@ -55,9 +64,37 @@ struct Framebuffer {
   Framebuffer(int w, int h) : W(w), H(h), depth(w * h, 1e30f), rgba(w * h * 4, 0) {}
 };
 
+struct Texture {
+  const uint8_t* data;  // (h, w, 3) uint8, row-major, v=0 at top
+  int w, h;
+
+  // bilinear sample with repeat wrap; uv in texture coords ([0,1] maps to
+  // the full image, pixel centers at (i + 0.5) / size)
+  void sample(float u, float v, float* rgb) const {
+    float x = u * w - 0.5f, y = v * h - 0.5f;
+    int x0 = (int)std::floor(x), y0 = (int)std::floor(y);
+    float fx = x - x0, fy = y - y0;
+    auto wrap = [](int i, int n) {
+      int m = i % n;
+      return m < 0 ? m + n : m;
+    };
+    int xa = wrap(x0, w), xb = wrap(x0 + 1, w);
+    int ya = wrap(y0, h), yb = wrap(y0 + 1, h);
+    for (int c = 0; c < 3; ++c) {
+      float t00 = data[3 * (ya * w + xa) + c], t01 = data[3 * (ya * w + xb) + c];
+      float t10 = data[3 * (yb * w + xa) + c], t11 = data[3 * (yb * w + xb) + c];
+      float top = t00 + fx * (t01 - t00);
+      float bot = t10 + fx * (t11 - t10);
+      rgb[c] = (top + fy * (bot - top)) / 255.0f;
+    }
+  }
+};
+
 void rasterize_view(
     const float* verts, const float* colors, int n_verts,
     const int32_t* faces, int n_faces,
+    const float* uv,          // (n_faces, 3, 2) per-corner UVs or nullptr
+    const Texture* tex,       // nullptr when untextured
     const float* K, const float* pose,  // 3x3 row-major, 4x4 row-major
     Framebuffer& fb) {
   // transform vertices to camera frame
@@ -118,7 +155,18 @@ void rasterize_view(
         fb.depth[idx] = z;
 
         float r = 0.7f, g = 0.7f, bcol = 0.7f;
-        if (colors) {
+        if (tex && uv) {
+          // perspective-correct UV interpolation + bilinear texture sample
+          float cw0 = w0 * iz0 * z, cw1 = w1 * iz1 * z, cw2 = w2 * iz2 * z;
+          const float* fuv = uv + 6 * f;
+          float u_ = cw0 * fuv[0] + cw1 * fuv[2] + cw2 * fuv[4];
+          float v_ = cw0 * fuv[1] + cw1 * fuv[3] + cw2 * fuv[5];
+          float rgb[3];
+          tex->sample(u_, v_, rgb);
+          r = rgb[0];
+          g = rgb[1];
+          bcol = rgb[2];
+        } else if (colors) {
           // perspective-correct vertex color interpolation
           float cw0 = w0 * iz0 * z, cw1 = w1 * iz1 * z, cw2 = w2 * iz2 * z;
           r = cw0 * colors[3 * a] + cw1 * colors[3 * b] + cw2 * colors[3 * c];
@@ -141,28 +189,35 @@ void rasterize_view(
 
 extern "C" {
 
-// Render n_views templates of one mesh.
+// Render n_views templates of one mesh (textured variant).
 //   verts   (n_verts, 3) float32, model units (mm for BOP CADs)
 //   colors  (n_verts, 3) float32 in [0, 1] or nullptr
 //   faces   (n_faces, 3) int32
+//   uv      (n_faces, 3, 2) float32 per-corner texcoords or nullptr
+//   texture (tex_h, tex_w, 3) uint8 (v=0 at top) or nullptr
 //   K       (3, 3) float32 row-major
 //   poses   (n_views, 4, 4) float32 camera-from-model
 //   out_rgba  (n_views, H, W, 4) uint8
 //   out_depth (n_views, H, W) uint16, mm (clamped at 65535)
-void render_templates(
+// Color priority per face: texture (when uv+texture given) > vertex colors >
+// neutral 0.7 albedo; all shaded by the same ambient+lambert term.
+void render_templates_tex(
     const float* verts, const float* colors, int n_verts,
     const int32_t* faces, int n_faces,
+    const float* uv, const uint8_t* texture, int tex_w, int tex_h,
     const float* K, const float* poses, int n_views,
     int W, int H, int n_threads,
     uint8_t* out_rgba, uint16_t* out_depth) {
+  Texture tex{texture, tex_w, tex_h};
+  const Texture* tex_p = (texture && uv && tex_w > 0 && tex_h > 0) ? &tex : nullptr;
   std::atomic<int> next{0};
   auto work = [&]() {
     while (true) {
       int v = next.fetch_add(1);
       if (v >= n_views) return;
       Framebuffer fb(W, H);
-      rasterize_view(verts, colors, n_verts, faces, n_faces, K,
-                     poses + 16 * v, fb);
+      rasterize_view(verts, colors, n_verts, faces, n_faces,
+                     tex_p ? uv : nullptr, tex_p, K, poses + 16 * v, fb);
       std::memcpy(out_rgba + (size_t)v * H * W * 4, fb.rgba.data(),
                   (size_t)H * W * 4);
       uint16_t* d = out_depth + (size_t)v * H * W;
@@ -176,6 +231,18 @@ void render_templates(
   std::vector<std::thread> threads;
   for (int i = 0; i < nt; ++i) threads.emplace_back(work);
   for (auto& t : threads) t.join();
+}
+
+// Untextured entry (kept for ABI stability with older callers).
+void render_templates(
+    const float* verts, const float* colors, int n_verts,
+    const int32_t* faces, int n_faces,
+    const float* K, const float* poses, int n_views,
+    int W, int H, int n_threads,
+    uint8_t* out_rgba, uint16_t* out_depth) {
+  render_templates_tex(verts, colors, n_verts, faces, n_faces,
+                       nullptr, nullptr, 0, 0, K, poses, n_views,
+                       W, H, n_threads, out_rgba, out_depth);
 }
 
 }  // extern "C"
