@@ -67,7 +67,8 @@ def eval_and_score(root, version, tag, extra_set=(), env=None):
     score_log = os.path.join(root, f"score_{tag}.log")
     run(
         [sys.executable, "score_csv.py", "--csv", csv, "--data_dir",
-         f"{root}/bop", "--dataset", "fakeds", "--vsd"],
+         f"{root}/bop", "--dataset", "fakeds", "--vsd",
+         "--bootstrap", "2000"],
         score_log,
     )
     # score_csv ends with an indent=2 JSON object; parse from the last
@@ -84,6 +85,11 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--train_views", type=int, default=128)
     ap.add_argument("--test_views", type=int, default=8)
+    ap.add_argument("--objects", default="",
+                    help="comma list from {lshape,tex,cube} for the world "
+                         "builder (empty = single lshape)")
+    ap.add_argument("--pair_frac", type=float, default=0.0)
+    ap.add_argument("--scenes", type=int, default=1)
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--version", type=int, default=910)
@@ -96,7 +102,9 @@ def main():
         run(
             [sys.executable, "tools/synthetic_world.py", "--root", root,
              "--train", str(args.train_views), "--test",
-             str(args.test_views)],
+             str(args.test_views), "--objects", args.objects,
+             "--pair_frac", str(args.pair_frac),
+             "--scenes", str(args.scenes)],
             os.path.join("/tmp", "world_gen.log"),
         )
 

@@ -186,6 +186,7 @@ def score_bop19(
     render_depth=None,
     scene_depth_by_image: dict[tuple[int, int], np.ndarray] | None = None,
     vsd_delta: float = 15.0,
+    per_instance: list | None = None,
 ) -> dict[str, float]:
     """Greedy-match estimates to GT and compute AR_MSSD / AR_MSPD (+ AR_VSD
     and the full bop19 AR when a depth renderer is provided).
@@ -193,6 +194,10 @@ def score_bop19(
     render_depth: optional callable (obj_id, R, t, K) -> (H, W) depth map in
     the GT units (mm) — e.g. a closure over
     picopose_tpu.native.renderer.render_views.
+
+    per_instance: optional list; when given, one record per scored GT
+    instance (matched or not) is appended — dicts of per-threshold hit
+    vectors — for resampling statistics (`bootstrap_ar`).
     """
     from collections import defaultdict
 
@@ -231,8 +236,13 @@ def score_bop19(
             taken[gi] = True
             g = gt_list[gi]
             err_p = mspd(e.R, e.t, g.R, g.t, K, model.pts, model.syms)
-            mssd_hits += err_s < MSSD_THRESHOLDS * model.diameter
-            mspd_hits += err_p < MSPD_THRESHOLDS * r
+            rec = {
+                "mssd": err_s < MSSD_THRESHOLDS * model.diameter,
+                "mspd": err_p < MSPD_THRESHOLDS * r,
+                "vsd": None,
+            }
+            mssd_hits += rec["mssd"]
+            mspd_hits += rec["mspd"]
             if render_depth is not None:
                 d_est = render_depth(key[2], e.R, e.t, K)
                 d_gt = render_depth(key[2], g.R, g.t, K)
@@ -244,7 +254,20 @@ def score_bop19(
                 ev = vsd(
                     d_est, d_gt, d_scene, VSD_TAUS * model.diameter, vsd_delta
                 )
-                vsd_hits += ev[:, None] < VSD_THETAS[None, :]
+                rec["vsd"] = ev[:, None] < VSD_THETAS[None, :]
+                vsd_hits += rec["vsd"]
+            if per_instance is not None:
+                per_instance.append(rec)
+        if per_instance is not None:
+            for _ in range(len(gt_list) - sum(taken)):  # unmatched GT = misses
+                per_instance.append({
+                    "mssd": np.zeros(len(MSSD_THRESHOLDS), bool),
+                    "mspd": np.zeros(len(MSPD_THRESHOLDS), bool),
+                    "vsd": (
+                        np.zeros((len(VSD_TAUS), len(VSD_THETAS)), bool)
+                        if render_depth is not None else None
+                    ),
+                })
         n_gt_scored += len(gt_list)
 
     n = max(n_gt_scored, 1)
@@ -261,3 +284,42 @@ def score_bop19(
         out["AR_VSD"] = ar_vsd
         out["AR_bop19"] = (ar_mssd + ar_mspd + ar_vsd) / 3.0
     return out
+
+
+def bootstrap_ar(
+    per_instance: list,
+    n_boot: int = 2000,
+    seed: int = 0,
+    alpha: float = 0.05,
+) -> dict[str, list[float]]:
+    """Percentile bootstrap CIs for the AR metrics over GT instances.
+
+    AR_x = mean over thresholds of hits/n = mean over instances of each
+    instance's per-threshold recall, so resampling instance-level recall
+    scalars is exact.  Returns {metric: [lo, hi]} at the (1-alpha) level."""
+    rng = np.random.default_rng(seed)
+    n = len(per_instance)
+    if n == 0:
+        return {}
+    r_mssd = np.array([rec["mssd"].mean() for rec in per_instance])
+    r_mspd = np.array([rec["mspd"].mean() for rec in per_instance])
+    has_vsd = per_instance[0]["vsd"] is not None
+    r_vsd = (
+        np.array([rec["vsd"].mean() for rec in per_instance])
+        if has_vsd else None
+    )
+    idx = rng.integers(0, n, size=(n_boot, n))
+    ms, mp_ = r_mssd[idx].mean(1), r_mspd[idx].mean(1)
+    stats = {
+        "AR_MSSD": ms,
+        "AR_MSPD": mp_,
+        "AR_mssd_mspd": (ms + mp_) / 2.0,
+    }
+    if has_vsd:
+        vs = r_vsd[idx].mean(1)
+        stats["AR_VSD"] = vs
+        stats["AR_bop19"] = (ms + mp_ + vs) / 3.0
+    qs = [100 * alpha / 2, 100 * (1 - alpha / 2)]
+    return {
+        k: [float(x) for x in np.percentile(v, qs)] for k, v in stats.items()
+    }

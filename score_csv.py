@@ -25,6 +25,9 @@ def main():
                     help="also compute AR_VSD (renders depth with the native "
                          "rasterizer and reads the scenes' depth images) -> "
                          "full AR_bop19")
+    ap.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                    help="add N-resample percentile-bootstrap 95%% CIs over "
+                         "GT instances (key 'ci95')")
     args = ap.parse_args()
 
     import numpy as np
@@ -131,10 +134,16 @@ def main():
                     np.asarray(imageio.imread(p), np.float64) * ds
                 )
 
+    records = [] if args.bootstrap else None
     result = score_bop19(
         estimates, gts, models, K_by_image,
         render_depth=render_depth, scene_depth_by_image=scene_depth,
+        per_instance=records,
     )
+    if args.bootstrap:
+        from picopose_tpu.eval.bop_scoring import bootstrap_ar
+
+        result["ci95"] = bootstrap_ar(records, n_boot=args.bootstrap)
     print(json.dumps(result, indent=2))
 
 

@@ -135,3 +135,130 @@ class TestSyntheticWorldContracts:
         inst = img.instances[0]
         assert inst.rgb.shape[:2] == (224, 224)
         assert inst.mask.sum() > 0
+
+
+@pytest.fixture(scope="module")
+def rich_world(tmp_path_factory):
+    """Round-4 world: 3 objects (vertex-colored / UV-textured / symmetric
+    cube), occlusion pairs, two test scenes."""
+    from tools.synthetic_world import build
+
+    root = str(tmp_path_factory.mktemp("world_r4"))
+    build(root, n_train=4, n_test=4, size=60.0, level=0, seed=0,
+          objects=["lshape", "tex", "cube"], pair_frac=1.0, n_scenes=2)
+    return root
+
+
+@pytest.mark.slow
+class TestRichWorld:
+    def test_textured_bank_carries_texture(self, rich_world):
+        """Object 2's appearance exists ONLY via UV sampling — a uniform
+        render would mean the texture path silently fell back."""
+        import imageio.v2 as imageio
+
+        v = imageio.imread(
+            os.path.join(rich_world, "templates", "fakeds", "000002",
+                         "000000.png")
+        )
+        fg = v[..., 3] > 0
+        assert fg.sum() > 1000
+        assert v[..., :3][fg].std(axis=0).mean() > 20.0
+
+    def test_occlusion_pairs_visib_bookkeeping(self, rich_world):
+        import json
+
+        occluded = total = 0
+        for scene in ("000001", "000002"):
+            sdir = os.path.join(rich_world, "bop", "fakeds", "test", scene)
+            with open(os.path.join(sdir, "scene_gt_info.json")) as f:
+                info = json.load(f)
+            for entries in info.values():
+                assert len(entries) == 2  # pair_frac=1.0
+                for gi in entries:
+                    total += 1
+                    assert 0.0 <= gi["visib_fract"] <= 1.0
+                    assert gi["px_count_visib"] <= gi["px_count_all"]
+                    if gi["visib_fract"] < 0.999:
+                        occluded += 1
+        assert occluded >= total // 4, (occluded, total)
+
+    def test_models_info_declares_cube_symmetries(self, rich_world):
+        import json
+
+        with open(os.path.join(rich_world, "bop", "fakeds", "models",
+                               "models_info.json")) as f:
+            info = json.load(f)
+        assert set(info) == {"1", "2", "3"}
+        syms = info["3"].get("symmetries_discrete", [])
+        assert len(syms) == 23
+        for s in syms:
+            M = np.asarray(s).reshape(4, 4)
+            assert abs(np.linalg.det(M[:3, :3]) - 1.0) < 1e-9
+        assert "symmetries_discrete" not in info["1"]
+
+    def test_loaders_parse_pairs(self, rich_world):
+        from picopose_tpu.data.bop import BOPTestDataset
+        from picopose_tpu.data.megapose import MegaPoseTrainingDataset
+
+        ds = BOPTestDataset(
+            os.path.join(rich_world, "bop"), "fakeds",
+            os.path.join(rich_world, "dets", "fakeds.json"),
+            n_template_view=42,
+        )
+        n_inst = sum(len(ds.load_image(i).instances) for i in range(len(ds)))
+        assert n_inst > len(ds)  # pairs survived detection filtering
+        tds = MegaPoseTrainingDataset(
+            os.path.join(rich_world, "mp"), augment_real=False, seed=0
+        )
+        tds.reset()
+        assert all(tds.get(i) is not None for i in range(4))
+
+
+class TestSymmetryScoring:
+    def test_cube_symmetry_scores_perfect(self):
+        from picopose_tpu.eval.bop_scoring import (
+            Estimate, GTInstance, ObjectModel, score_bop19,
+        )
+        from tools.synthetic_world import cube_rotations
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-30, 30, (200, 3))
+        syms = np.stack([np.eye(4)] + cube_rotations())
+        R_gt = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(R_gt) < 0:
+            R_gt[:, 0] *= -1
+        t = np.array([0, 0, 240.0])
+        R_est = R_gt @ cube_rotations()[7][:3, :3]
+        Kk = {(1, 0): np.array(
+            [[572.0, 0, 320], [0, 573.0, 240], [0, 0, 1.0]]
+        )}
+        gt = [GTInstance(1, 0, 3, R_gt, t)]
+        est = [Estimate(1, 0, 3, 0.9, R_est, t)]
+        with_syms = score_bop19(
+            est, gt, {3: ObjectModel(pts=pts, diameter=60.0, syms=syms)}, Kk
+        )
+        without = score_bop19(
+            est, gt, {3: ObjectModel(pts=pts, diameter=60.0)}, Kk
+        )
+        assert with_syms["AR_mssd_mspd"] == 1.0
+        assert without["AR_mssd_mspd"] == 0.0
+
+    def test_bootstrap_ci_brackets_point_estimate(self):
+        from picopose_tpu.eval.bop_scoring import (
+            MSPD_THRESHOLDS, MSSD_THRESHOLDS, bootstrap_ar,
+        )
+
+        rng = np.random.default_rng(1)
+        recs = [
+            {
+                "mssd": rng.random(len(MSSD_THRESHOLDS)) < 0.7,
+                "mspd": rng.random(len(MSPD_THRESHOLDS)) < 0.8,
+                "vsd": None,
+            }
+            for _ in range(200)
+        ]
+        point = float(np.mean([r["mssd"].mean() for r in recs]))
+        ci = bootstrap_ar(recs, n_boot=500, seed=0)
+        lo, hi = ci["AR_MSSD"]
+        assert lo <= point <= hi
+        assert 0.0 < hi - lo < 0.2  # a 200-instance CI is tight-ish
