@@ -54,9 +54,17 @@ BOP7 = ("ycbv", "tudl", "lmo", "icbin", "tless", "itodd", "hb")
 
 
 def _load_im(path: str) -> np.ndarray:
-    import imageio.v2 as imageio
+    """Decode an image straight through PIL.
 
-    return np.asarray(imageio.imread(path))
+    imageio's imopen/plugin layers cost ~2-3 ms per call on top of the
+    actual decode (measured, tools/loader_bench.py) — at 4 decodes per
+    training sample that was ~15% of the whole loader.  PIL is what imageio
+    used underneath anyway, so pixels are bit-identical (incl. uint16 PNG
+    depth and the gray-tif itodd images)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im)
 
 
 @dataclass

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 
 import numpy as np
 
@@ -54,6 +55,7 @@ class MegaPoseTrainingDataset:
         num_img_per_epoch: int = -1,
         pose_table: np.ndarray | None = None,
         seed: int = 0,
+        cache_templates: int = 64,
     ):
         self.data_dir = data_dir
         self.img_size = img_size
@@ -63,6 +65,13 @@ class MegaPoseTrainingDataset:
         self.rgb_mask_flag = rgb_mask_flag
         self.num_img_per_epoch = num_img_per_epoch
         self.rng = np.random.default_rng(seed)
+        # LRU over processed template samples: templates repeat heavily
+        # within an epoch (one bank of 162 views per object, 5-nearest pick),
+        # and the processed result is deterministic per (source, obj, view) —
+        # caching skips 2 png decodes + crop per hit.  0 disables.
+        self._tem_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._tem_cache_cap = int(cache_templates)
+        self._pose_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
         self.data_paths = [
             os.path.join("MegaPose-GSO", "train_pbr_web"),
@@ -189,6 +198,39 @@ class MegaPoseTrainingDataset:
         }
 
     def _process_template(self, si: int, obj_id: int, view_id: int) -> dict | None:
+        key = (si, obj_id, view_id)
+        if self._tem_cache_cap > 0:
+            hit = self._tem_cache.get(key)
+            if hit is not None:
+                self._tem_cache.move_to_end(key)
+                # consumers (collate) only stack; a shallow copy keeps the
+                # dict itself private without duplicating the arrays
+                return dict(hit)
+        out = self._load_template(si, obj_id, view_id)
+        if out is not None and self._tem_cache_cap > 0:
+            self._tem_cache[key] = out
+            if len(self._tem_cache) > self._tem_cache_cap:
+                self._tem_cache.popitem(last=False)
+            return dict(out)
+        return out
+
+    def _template_poses(self, si: int, obj_id: int) -> np.ndarray:
+        key = (si, obj_id)
+        hit = self._pose_cache.get(key)
+        if hit is None:
+            hit = np.load(
+                os.path.join(
+                    self.template_paths[si], "object_poses", f"{obj_id:06d}.npy"
+                )
+            )
+            self._pose_cache[key] = hit
+            if len(self._pose_cache) > 256:
+                self._pose_cache.popitem(last=False)
+        else:
+            self._pose_cache.move_to_end(key)
+        return hit
+
+    def _load_template(self, si: int, obj_id: int, view_id: int) -> dict | None:
         tdir = self.template_paths[si]
         img_path = os.path.join(tdir, f"{obj_id:06d}", f"{view_id:06d}.png")
         depth_path = os.path.join(tdir, f"{obj_id:06d}", f"{view_id:06d}_depth.png")
@@ -201,9 +243,7 @@ class MegaPoseTrainingDataset:
         bbox = mask_square_bbox(mask)
 
         depth = _load_im(depth_path).astype(np.float32) * 0.1 / 1000.0
-        pose = np.load(
-            os.path.join(tdir, "object_poses", f"{obj_id:06d}.npy")
-        )[view_id].astype(np.float32)
+        pose = self._template_poses(si, obj_id)[view_id].astype(np.float32).copy()
         pose[:3, 3] *= 0.1 / 1000.0
 
         return {

@@ -18,6 +18,12 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 def accelerated() -> bool:
+    """C++ fastpath available?  `PICOPOSE_NO_FASTPATH=1` forces the numpy
+    fallbacks (A/B instrument for tools/loader_bench.py)."""
+    import os
+
+    if os.environ.get("PICOPOSE_NO_FASTPATH"):
+        return False
     return load_library() is not None
 
 

@@ -73,6 +73,87 @@ def prefetch_batches(
         stop.set()
 
 
+_W_DS = None
+_W_SEED = 0
+_W_EPOCH = 0
+
+
+def _mp_init(ds_kwargs: dict, seed: int, epoch: int):
+    """Worker initializer: build a private dataset whose epoch SUBSET matches
+    every other worker's (rng seeded by (seed, epoch) for reset)."""
+    global _W_DS, _W_SEED, _W_EPOCH
+    _W_DS = MegaPoseTrainingDataset(seed=seed, **ds_kwargs)
+    _W_DS.rng = np.random.default_rng([seed, epoch])
+    _W_DS.reset()
+    _W_SEED, _W_EPOCH = seed, epoch
+
+
+def _mp_batch(args: tuple[int, int]) -> dict[str, np.ndarray]:
+    """Produce ONE collated batch in the worker and ship it as a single
+    pickle — per-sample IPC costs ~30% (tools/loader_bench.py procs_ipc arm);
+    one contiguous array per key amortizes it away.
+
+    The per-sample draws (instance pick, aug, retries, template view) are
+    reseeded from (seed, epoch, start): batch `start` is bit-identical no
+    matter which worker runs it or in what order — a STRONGER contract than
+    torch DataLoader worker processes, whose streams depend on scheduling."""
+    start, bs = args
+    _W_DS.rng = np.random.default_rng([_W_SEED, _W_EPOCH, start])
+    samples = []
+    for j in range(bs):
+        s = _W_DS.get(start + j)
+        if s is not None:
+            samples.append(s)
+    while len(samples) < bs:  # extremely rare
+        s = _W_DS.get(int(_W_DS.rng.integers(1 << 30)))
+        if s is not None:
+            samples.append(s)
+    return collate(samples)
+
+
+def mp_prefetch_batches(
+    ds_kwargs: dict,
+    batch_size: int,
+    steps: int,
+    workers: int = 10,
+    depth: int = 2,
+    seed: int = 0,
+    epoch: int = 0,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Process-pool batch producer: each worker owns a dataset replica and
+    emits whole collated batches.  This is the scaling backend for hosts with
+    many cores — json decode, PIL color aug and png/jpg decode hold the GIL,
+    so the thread path tops out at ~1 core (measured: tools/loader_bench.py).
+
+    ds_kwargs are MegaPoseTrainingDataset kwargs minus seed.  Batches come
+    back in order; up to workers+depth are in flight.
+
+    The pool uses the 'spawn' start method: the trainer has a live TPU
+    client (tunnel sockets + runtime threads) by the time the first epoch
+    starts, and fork()ing that state into workers is undefined — spawned
+    workers re-import cleanly and never touch jax."""
+    import concurrent.futures as _cf
+    import multiprocessing as _mp
+
+    with _cf.ProcessPoolExecutor(
+        workers, mp_context=_mp.get_context("spawn"),
+        initializer=_mp_init, initargs=(ds_kwargs, seed, epoch),
+    ) as pool:
+        inflight: list = []
+        nxt = 0
+        for _ in range(min(steps, workers + depth)):
+            inflight.append(pool.submit(_mp_batch, (nxt, batch_size)))
+            nxt += batch_size
+        done = 0
+        while done < steps:
+            fut = inflight.pop(0)
+            if done + len(inflight) + 1 < steps:
+                inflight.append(pool.submit(_mp_batch, (nxt, batch_size)))
+                nxt += batch_size
+            yield fut.result()
+            done += 1
+
+
 def _graft_tree(old, new, what: str, subset: bool = False):
     """Return `old`'s pytree filled with `new`'s leaves, matched by key path.
 
@@ -237,15 +318,16 @@ def run_training(
         state = ckpt.restore(mgr, None, state)
         print(f"resumed from step {int(state.step)}")
 
-    dataset = MegaPoseTrainingDataset(
-        cfg.train_dataset.data_dir,
+    ds_kwargs = dict(
+        data_dir=cfg.train_dataset.data_dir,
         img_size=cfg.train_dataset.img_size,
         min_visib_fract=cfg.train_dataset.min_visib_fract,
         min_px_count_visib=cfg.train_dataset.min_px_count_visib,
         augment_real=cfg.train_dataset.augment_real,
         rgb_mask_flag=cfg.train_dataset.rgb_mask_flag,
-        seed=cfg.trainer.rd_seed,
     )
+    dataset = MegaPoseTrainingDataset(seed=cfg.trainer.rd_seed, **ds_kwargs)
+    use_procs = getattr(cfg.train_dataloader, "backend", "threads") == "procs"
 
     bs = cfg.train_dataloader.bs * mesh.shape["data"]
     iters_per_epoch = cfg.lr_scheduler.max_iters // cfg.trainer.training_epoch
@@ -259,10 +341,19 @@ def run_training(
             if step >= total:
                 break
             dataset.reset()  # epoch resampling (utils/lite.py:29-31)
-            for batch in prefetch_batches(
-                dataset, bs, steps=min(iters_per_epoch, total - step),
-                workers=cfg.train_dataloader.num_workers,
-            ):
+            n_steps = min(iters_per_epoch, total - step)
+            if use_procs:
+                batches = mp_prefetch_batches(
+                    ds_kwargs, bs, steps=n_steps,
+                    workers=cfg.train_dataloader.num_workers,
+                    seed=cfg.trainer.rd_seed, epoch=epoch,
+                )
+            else:
+                batches = prefetch_batches(
+                    dataset, bs, steps=n_steps,
+                    workers=cfg.train_dataloader.num_workers,
+                )
+            for batch in batches:
                 key, sub = jax.random.split(key)
                 sharded = shard_batch(
                     {k: jax.numpy.asarray(v) for k, v in batch.items()}, mesh

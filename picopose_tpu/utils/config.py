@@ -103,6 +103,11 @@ class DataloaderConfig:
     num_workers: int = 10
     shuffle: bool = True
     drop_last: bool = True
+    # 'threads' (in-process pool, exactly reproducible stream) or 'procs'
+    # (worker processes producing whole collated batches — the scaling
+    # backend for GIL-bound decode/augment, mirroring the reference's
+    # DataLoader num_workers processes, config/base.yaml:55)
+    backend: str = "threads"
 
 
 @dataclass

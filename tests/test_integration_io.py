@@ -343,3 +343,55 @@ class TestMegaPoseTrainingData:
         state2, losses = train_step(model, tx, state, jb, jax.random.PRNGKey(1))
         assert np.isfinite(float(losses["loss"]))
         assert int(state2.step) == 1
+
+
+class TestProcessLoader:
+    def test_mp_prefetch_batches(self, megapose_tree):
+        """Process-pool batch producer: right count/shapes, deterministic
+        per (seed, epoch) epoch subset, template cache exactness."""
+        from picopose_tpu.train.loop import mp_prefetch_batches
+
+        table = np.load(os.path.join(
+            megapose_tree, "MegaPose-Templates", "GSO",
+            "object_poses", "000001.npy",
+        ))
+        kw = dict(
+            data_dir=megapose_tree, min_px_count_visib=100,
+            pose_table=table, augment_real=False,
+        )
+        run1 = list(mp_prefetch_batches(kw, 2, steps=3, workers=2, seed=7))
+        assert len(run1) == 3
+        for b in run1:
+            assert b["real_rgb"].shape == (2, 224, 224, 3)
+            assert b["tem_rgb"].shape == (2, 224, 224, 3)
+        # without aug the stream is a pure function of (seed, epoch)
+        run2 = list(mp_prefetch_batches(kw, 2, steps=3, workers=2, seed=7))
+        for b1, b2 in zip(run1, run2):
+            for k in b1:
+                np.testing.assert_array_equal(b1[k], b2[k])
+        # different epoch -> different subset draw (may coincide on a
+        # 2-sample tree only if the rng picks identically; just check it runs)
+        run3 = list(
+            mp_prefetch_batches(kw, 2, steps=1, workers=2, seed=7, epoch=1)
+        )
+        assert run3[0]["real_rgb"].shape == (2, 224, 224, 3)
+
+    def test_template_cache_exact(self, megapose_tree):
+        """Cached template samples are bit-identical to uncached loads."""
+        from picopose_tpu.data.megapose import MegaPoseTrainingDataset
+
+        table = np.load(os.path.join(
+            megapose_tree, "MegaPose-Templates", "GSO",
+            "object_poses", "000001.npy",
+        ))
+        kw = dict(
+            min_px_count_visib=100, pose_table=table, augment_real=False,
+        )
+        ds_c = MegaPoseTrainingDataset(megapose_tree, seed=3, **kw)
+        ds_u = MegaPoseTrainingDataset(
+            megapose_tree, seed=3, cache_templates=0, **kw
+        )
+        for i in [0, 1, 0, 1, 0]:  # revisits hit the cache in ds_c
+            a, b = ds_c.get(i), ds_u.get(i)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
