@@ -100,6 +100,7 @@ class PoseEstimator:
         rgb_mask_flag: bool = False,
         seed: int = 0,
         devices: Sequence[Any] | None = None,
+        device_preprocess: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -122,6 +123,13 @@ class PoseEstimator:
         self.pts_size = pts_size
         self.min_mask_px = min_mask_px
         self.rgb_mask_flag = rgb_mask_flag
+        # device_preprocess=True moves crop/resize/normalize into a jit
+        # stage (ops/preprocess.py): the host uploads ONE frame + masks per
+        # chunk instead of cropping per detection with cv2/C++ — one fewer
+        # host hop per frame (BASELINE north star).  Host path stays the
+        # default; parity <=1e-3 pinned in tests/test_preprocess.py and
+        # tests/test_serve.py.
+        self.device_preprocess = device_preprocess
         self._key = jax.random.PRNGKey(seed)
         self._banks: dict[int, Any] = {}
         # multi-chip: round-robin bank placement + one model replica per
@@ -311,6 +319,53 @@ class PoseEstimator:
             "pts2d": grid_pts2d(M, self.img_size, self.pts_size),
         }
 
+    def _decode_mask(self, H: int, W: int, det: Mapping[str, Any]):
+        """Detection -> (mask, raw yxyx bbox, use_bbox) for the on-device
+        preprocessing stage — only the RLE/rect decode stays on host; the
+        same mask-vs-box selection rules as _decode."""
+        mask = det.get("mask")
+        if mask is None and "segmentation" in det:
+            mask = rle_to_mask(det["segmentation"])
+        if mask is not None and mask.sum() > self.min_mask_px:
+            return mask.astype(np.uint8), (0, 0, 0, 0), False
+        if "bbox" not in det:
+            raise ValueError(
+                "detection needs a usable 'mask'/'segmentation' or 'bbox'"
+            )
+        bx = det["bbox"]  # xywh, CNOS convention
+        raw = (bx[1], bx[1] + bx[3], bx[0], bx[0] + bx[2])
+        if mask is None:
+            sq = square_bbox(raw, (H, W))
+            mask = np.zeros((H, W), np.uint8)
+            mask[sq[0]:sq[1], sq[2]:sq[3]] = 1
+        return mask.astype(np.uint8), raw, True
+
+    def _device_batch(self, rgb, K, dets, pad: int, dev):
+        """Chunk batch via the jitted preprocess stage (ops/preprocess.py)."""
+        from picopose_tpu.ops.preprocess import preprocess_frame
+
+        H, W = rgb.shape[:2]
+        trip = [self._decode_mask(H, W, d) for d in dets]
+        masks = np.stack([t[0] for t in trip])
+        bboxes = np.asarray([t[1] for t in trip], np.int32)
+        use_bbox = np.asarray([t[2] for t in trip], bool)
+        if pad:
+            masks = np.concatenate([masks, np.repeat(masks[-1:], pad, 0)])
+            bboxes = np.concatenate([bboxes, np.repeat(bboxes[-1:], pad, 0)])
+            use_bbox = np.concatenate(
+                [use_bbox, np.repeat(use_bbox[-1:], pad, 0)]
+            )
+        batch = preprocess_frame(
+            self._put(rgb, dev), self._put(masks, dev),
+            bboxes=self._put(bboxes, dev), use_bbox=self._put(use_bbox, dev),
+            out=self.img_size, pts=self.pts_size,
+            mask_rgb=self.rgb_mask_flag,
+        )
+        batch["real_K"] = self._put(
+            np.repeat(K.astype(np.float32)[None], len(dets) + pad, 0), dev
+        )
+        return batch
+
     def estimate(
         self,
         rgb: np.ndarray,
@@ -346,16 +401,23 @@ class PoseEstimator:
             dev = self._bank_device.get(obj)
             for s in range(0, len(idxs), self.max_batch):
                 chunk = idxs[s : s + self.max_batch]
-                insts = [self._decode(rgb, K, detections[i]) for i in chunk]
                 pad = self.max_batch - len(chunk)
-                batch = {}
-                for name in ("rgb", "mask", "M", "K", "pts2d"):
-                    arr = np.stack([inst[name] for inst in insts])
-                    if pad:
-                        arr = np.concatenate(
-                            [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
-                        )
-                    batch[f"real_{name}"] = self._put(arr, dev)
+                if self.device_preprocess:
+                    batch = self._device_batch(
+                        rgb, K, [detections[i] for i in chunk], pad, dev
+                    )
+                else:
+                    insts = [
+                        self._decode(rgb, K, detections[i]) for i in chunk
+                    ]
+                    batch = {}
+                    for name in ("rgb", "mask", "M", "K", "pts2d"):
+                        arr = np.stack([inst[name] for inst in insts])
+                        if pad:
+                            arr = np.concatenate(
+                                [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
+                            )
+                        batch[f"real_{name}"] = self._put(arr, dev)
                 self._key, sub = jax.random.split(self._key)
                 out = run_batch_jit(
                     self.model, self._vars_on(dev), batch, bank, sub,

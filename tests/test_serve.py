@@ -176,3 +176,68 @@ class TestMultiDeviceServing:
             assert np.isfinite(r.t).all()
         # one model replica per used chip
         assert set(est._var_replicas) == set(devs)
+
+
+class TestDevicePreprocess:
+    """device_preprocess=True: the jit crop stage must hand the pipeline
+    the same batch the host decode does (ops/preprocess.py wiring)."""
+
+    def _mk(self, estimator, **kw):
+        from picopose_tpu.serve import PoseEstimator
+
+        return PoseEstimator(
+            variables=estimator.variables,
+            vit_type="dinov2_vits14",
+            blocks_to_take=(1, 3, 5, 7),
+            compute_dtype="float32",
+            hyp=2,
+            n_template_view=6,
+            pnp_iters=30,
+            max_batch=2,
+            **kw,
+        )
+
+    def test_batch_parity_with_host_decode(self, estimator, world):
+        from tests.test_integration_io import encode_rle
+
+        est = self._mk(estimator, device_preprocess=True)
+        rgb = np.ascontiguousarray(world["rgba"][0][..., :3])
+        mask = (world["rgba"][0][..., 3] > 0).astype(np.uint8)
+        ys, xs = np.where(mask)
+        bbox = [int(xs.min()), int(ys.min()),
+                int(xs.max() - xs.min()), int(ys.max() - ys.min())]
+        dets = [
+            {"obj_id": 1, "mask": mask},
+            {"obj_id": 1, "segmentation": encode_rle(mask)},
+            {"obj_id": 1, "bbox": bbox},
+        ]
+        for det in dets:
+            host = estimator._decode(rgb, K, det)
+            dev = est._device_batch(rgb, K, [det], pad=0, dev=None)
+            np.testing.assert_allclose(
+                np.asarray(dev["real_rgb"][0]), host["rgb"], atol=1e-3
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dev["real_mask"][0]), host["mask"]
+            )
+            np.testing.assert_allclose(
+                np.asarray(dev["real_M"][0]), host["M"], rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(dev["real_pts2d"][0]), host["pts2d"], atol=1e-3
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dev["real_K"][0]), host["K"]
+            )
+
+    def test_estimate_end_to_end(self, estimator, world):
+        est = self._mk(estimator, device_preprocess=True)
+        est.register_bank(1, estimator._banks[1])
+        rgb = np.ascontiguousarray(world["rgba"][1][..., :3])
+        mask = (world["rgba"][1][..., 3] > 0).astype(np.uint8)
+        out = est.estimate(rgb, K, [{"obj_id": 1, "mask": mask}])
+        assert len(out) == 1
+        np.testing.assert_allclose(
+            out[0].R @ out[0].R.T, np.eye(3), atol=1e-4
+        )
+        assert np.isfinite(out[0].t).all()
