@@ -205,6 +205,14 @@ def _port_dpt(sd, p):
         rp: dict[str, Any] = {}
         rs: dict[str, Any] = {}
         for unit in ("resConfUnit1", "resConfUnit2"):
+            if f"{p}.scratch.refinenet{rn}.{unit}.conv1.weight" not in sd:
+                # refinenet4 takes a single input, so its resConfUnit1 is
+                # dead in the reference (constructed by torch, never run —
+                # dpt.py FeatureFusionBlock) and our flax model never builds
+                # it.  Reference ckpts carry it (ported through as unused
+                # leaves); ckpts EXPORTED from a model-init tree don't
+                # (torch_export.py) — tolerate both.
+                continue
             up, us = {}, {}
             for c in ("conv1", "conv2"):
                 up[c] = _conv(sd, f"{p}.scratch.refinenet{rn}.{unit}.{c}")
