@@ -58,7 +58,7 @@ def main(
     batch: int = 16,
     views: int = 162,
     hyp: int = 5,
-    iters: int = 10,
+    iters: int = 20,
     vit: str = "dinov2_vitl14",
     stage3_topk: int | None = None,
     quantize_stage3: bool = False,
@@ -198,6 +198,7 @@ def main(
     depth = 2
     acc_pipe = 0.0
     pending = []
+    fetch_t = []
     t0 = time.perf_counter()
     for i in range(iters):
         b, k = ins_pipe[i] if i < n_staged else make_input(1000, 0.5, i)
@@ -208,9 +209,21 @@ def main(
             acc_pipe += float(
                 jax.device_get(pending.pop(0).inlier_ratio).sum()
             )
+            fetch_t.append(time.perf_counter())
     for out in pending:
         acc_pipe += float(jax.device_get(out.inlier_ratio).sum())
+        fetch_t.append(time.perf_counter())
     dt_pipe = time.perf_counter() - t0
+    # Steady-state per-batch time = median inter-fetch gap while the device
+    # queue is full (drop the fill-dominated first gap and the drain's last
+    # `depth` fetches, whose gaps nothing overlaps).  The RAW mean
+    # (dt_pipe / iters) amortizes the ~1-latency pipeline fill over the
+    # run, so at small --iters it understates what a serving loop sustains
+    # over thousands of batches — that mean is still reported as
+    # mean_pipelined_crops_per_sec.
+    gaps = [b - a for a, b in zip(fetch_t, fetch_t[1:])]
+    core = gaps[1 : len(gaps) - depth] or gaps
+    batch_s_pipe = sorted(core)[len(core) // 2]
 
     # device-op time from a profiler trace: the tunnel development setup
     # adds tens of ms of RTT per host fetch, so wall p50 OVERSTATES batch
@@ -258,10 +271,11 @@ def main(
     # on directly attached hardware the two agree.
     latency_crops_per_sec = batch / (p50_ms / 1000.0) / n_chips
     crops_per_sec_mean = batch * iters / dt / n_chips
-    # headline = pipelined steady-state throughput (the serving number);
-    # one residual RTT amortizes over the whole run.
-    crops_per_sec = batch * iters / dt_pipe / n_chips
-    achieved_tflops = flops / (dt_pipe / iters) / 1e12 if flops else 0.0
+    # headline = pipelined steady-state throughput (the serving number):
+    # median inter-fetch gap with the device queue full (see above)
+    crops_per_sec = batch / batch_s_pipe / n_chips
+    mean_pipelined = batch * iters / dt_pipe / n_chips
+    achieved_tflops = flops / batch_s_pipe / 1e12 if flops else 0.0
     print(
         json.dumps(
             {
@@ -279,6 +293,7 @@ def main(
                     round(batch / (device_ms / 1e3), 3) if device_ms else 0.0
                 ),
                 "mean_crops_per_sec": round(crops_per_sec_mean, 3),
+                "mean_pipelined_crops_per_sec": round(mean_pipelined, 3),
                 "achieved_tflops_per_sec": round(achieved_tflops, 2),
                 "mfu_vs_v5e_peak": round(
                     achieved_tflops / V5E_PEAK_TFLOPS, 4
@@ -439,7 +454,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--views", type=int, default=162)
     p.add_argument("--hyp", type=int, default=5)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--vit", type=str, default="dinov2_vitl14")
     p.add_argument(
         "--remat", action="store_true",
