@@ -17,3 +17,4 @@ from picopose_tpu.ops.matching import (
     match_templates,
 )
 from picopose_tpu.ops.corr import correlation_pyramid, corr_lookup
+from picopose_tpu.ops.preprocess import preprocess_frame
