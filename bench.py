@@ -62,6 +62,7 @@ def main(
     vit: str = "dinov2_vitl14",
     stage3_topk: int | None = None,
     quantize_stage3: bool = False,
+    fuse_xheads: bool = True,
 ):
     import jax
     import jax.numpy as jnp
@@ -72,7 +73,8 @@ def main(
 
     taps = {"dinov2_vitl14": (5, 11, 17, 23), "dinov2_vits14": (1, 3, 5, 7)}[vit]
     model = PicoPose(
-        vit_type=vit, blocks_to_take=taps, quantize_stage3=quantize_stage3
+        vit_type=vit, blocks_to_take=taps, quantize_stage3=quantize_stage3,
+        fuse_xheads=fuse_xheads,
     )
     rng = np.random.default_rng(0)
 
@@ -470,6 +472,10 @@ if __name__ == "__main__":
         "--quant", action="store_true",
         help="int8-MXU stage-3 convs (opt-in serving mode; changes numerics)",
     )
+    p.add_argument(
+        "--no_fuse_xheads", action="store_true",
+        help="A/B: run the reference-shaped unfused XHead conv stacks",
+    )
     a = p.parse_args()
     if a.mode == "train":
         # BASELINE config (4) is the train step @ batch 32: bench.py
@@ -484,4 +490,5 @@ if __name__ == "__main__":
         main(
             a.batch, a.views, a.hyp, a.iters, a.vit,
             stage3_topk=a.topk, quantize_stage3=a.quant,
+            fuse_xheads=not a.no_fuse_xheads,
         )

@@ -20,6 +20,7 @@ Flow fields are (B, H, W, 2), channels (x, y), units of level cells.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from picopose_tpu.ops.corr import corr_lookup
@@ -84,12 +85,103 @@ class XHead(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares one conv's {kernel, bias} at this module's scope WITHOUT
+    computing, so the fused XHead path below can own the exact same param
+    tree (flow_pred_N/layers_0/kernel, ...) as the unfused `XHead` modules:
+    checkpoints, the torch porter/exporter, and optimizer trees are
+    byte-identical between the two compute paths.  Initializers mirror
+    nn.Conv's defaults (lecun_normal kernel, zero bias), and linen derives
+    param-init RNG from the scope path alone, so a fused and an unfused
+    model init to the SAME weights."""
+
+    kshape: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kshape
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.kshape[-1],))
+        return kernel, bias
+
+
+class _XHeadParams(nn.Module):
+    """XHead's three convs as bare params (layers_0/layers_1/predict)."""
+
+    out_ch: int
+    kind: str  # 'flow' | 'mask'
+    in_ch: int = 640
+
+    @nn.compact
+    def __call__(self):
+        k = 3 if self.kind == "flow" else 1
+        return (
+            _ConvParams((3, 3, self.in_ch, 512), name="layers_0")(),
+            _ConvParams((3, 3, 512, 256), name="layers_1")(),
+            _ConvParams((k, k, 256, self.out_ch), name="predict")(),
+        )
+
+
+def _conv_same(x, kernel, bias, groups: int = 1):
+    """NHWC stride-1 SAME conv in x's dtype (params cast, fp32 accum)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + bias.astype(x.dtype)
+
+
+def _fused_xheads(x, flow_params, mask_params):
+    """Run the flow and mask XHeads as ONE conv stack over their shared
+    640-ch input.
+
+    The two heads read the same activation map x but have independent
+    weights, so the reference runs the stack twice (raft_decoder.py:251-289
+    instantiated at flow_decoder.py:36-37).  Fused: layers_0 concatenates
+    output channels (one 640->1024 conv = one pass over x instead of two),
+    layers_1 and predict become feature_group_count=2 convs (block-diagonal
+    = the two independent 512->256 / 256->out stacks, same FLOPs, half the
+    kernel launches and activation round-trips).  The mask head's 1x1
+    predict is zero-padded to 3x3 (identical math under SAME padding) and
+    given a dead 2nd output channel so the grouped conv splits evenly;
+    per-channel contractions are unchanged, so this is numerics-equivalent
+    to the unfused path up to compiler reassociation.
+
+    Returns (dflow (B,H,W,2), dcert (B,H,W,1)) in x.dtype."""
+    (kf0, bf0), (kf1, bf1), (kfp, bfp) = flow_params
+    (km0, bm0), (km1, bm1), (kmp, bmp) = mask_params
+
+    k0 = jnp.concatenate([kf0, km0], axis=-1)
+    b0 = jnp.concatenate([bf0, bm0], axis=-1)
+    h = nn.relu(_conv_same(x, k0, b0))  # (B, H, W, 1024)
+
+    k1 = jnp.concatenate([kf1, km1], axis=-1)  # (3,3,512,512), groups=2
+    b1 = jnp.concatenate([bf1, bm1], axis=-1)
+    h = nn.relu(_conv_same(h, k1, b1, groups=2))  # (B, H, W, 512)
+
+    # mask predict: (1,1,256,1) -> centered (3,3,256,2) with a zero channel
+    kmp3 = jnp.pad(kmp, ((1, 1), (1, 1), (0, 0), (0, 1)))
+    kp = jnp.concatenate([kfp, kmp3], axis=-1)  # (3,3,256,4), groups=2
+    bp = jnp.concatenate([bfp, bmp, jnp.zeros_like(bmp)], axis=-1)
+    p = _conv_same(h, kp, bp, groups=2)  # (B, H, W, 4)
+    return p[..., :2], p[..., 2:3]
+
+
 class FlowDecoder(nn.Module):
     num_levels: int = 3
     radius: int = 4  # config radius; per-level lookup uses radius // 2
     # int8-MXU conv serving mode (ops/qconv.py); proj convs stay float
     # (they feed BatchNorm), as do the 2/1-channel predict convs (tiny)
     quantize: bool = False
+    # run the flow+mask XHead pairs as one fused conv stack (identical
+    # param tree and per-channel math — see _fused_xheads); the int8 path
+    # keeps the unfused stacks (per-conv dynamic scales)
+    fuse_xheads: bool = True
 
     @nn.compact
     def __call__(
@@ -143,12 +235,21 @@ class FlowDecoder(nn.Module):
             )
             fr_hat = warp_by_flow(fr, flow, group=group)
             x = jnp.concatenate([ft, fr_hat, motion], axis=-1)
-            flow = flow + XHead(
-                2, "flow", name=f"flow_pred_{level}", quantize=self.quantize
-            )(x)
-            certainty = certainty + XHead(
-                1, "mask", name=f"mask_pred_{level}", quantize=self.quantize
-            )(x)
+            if self.fuse_xheads and not self.quantize:
+                dflow, dcert = _fused_xheads(
+                    x,
+                    _XHeadParams(2, "flow", name=f"flow_pred_{level}")(),
+                    _XHeadParams(1, "mask", name=f"mask_pred_{level}")(),
+                )
+                flow = flow + dflow
+                certainty = certainty + dcert
+            else:
+                flow = flow + XHead(
+                    2, "flow", name=f"flow_pred_{level}", quantize=self.quantize
+                )(x)
+                certainty = certainty + XHead(
+                    1, "mask", name=f"mask_pred_{level}", quantize=self.quantize
+                )(x)
 
             pred_flow.append(flow)
             pred_certainty.append(certainty)

@@ -40,6 +40,9 @@ class PicoPose(nn.Module):
     # int8-MXU stage-3 convs (opt-in serving mode; changes numerics vs the
     # reference's float convs — ops/qconv.py, docs/PERF.md)
     quantize_stage3: bool = False
+    # fused flow+mask XHead pairs (same params/math, fewer passes over the
+    # shared 640-ch input — models/flow.py::_fused_xheads)
+    fuse_xheads: bool = True
 
     def setup(self):
         cfg = VIT_CONFIGS[self.vit_type]
@@ -51,7 +54,7 @@ class PicoPose(nn.Module):
         self.dpt_head = DPTHead(in_channels=cfg.embed_dim, name="dpt_head")
         self.flow_decoder = FlowDecoder(
             self.num_levels, self.radius, quantize=self.quantize_stage3,
-            name="flow_decoder",
+            fuse_xheads=self.fuse_xheads, name="flow_decoder",
         )
 
     def features(self, images: jnp.ndarray) -> list[jnp.ndarray]:

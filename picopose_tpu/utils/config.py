@@ -72,6 +72,10 @@ class ModelConfig:
     # convs; OFF until A/B'd on real BOP data (same policy as
     # PICOPOSE_MATCH_INT8).
     quantize_stage3: bool = False
+    # fused flow+mask XHead conv stacks (identical params/math, fewer
+    # passes over the shared input — models/flow.py::_fused_xheads).
+    # On by default; set false to run the reference-shaped unfused stacks.
+    fuse_xheads: bool = True
 
 
 @dataclass

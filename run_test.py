@@ -71,6 +71,7 @@ def main():
         radius=cfg.model.radius,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
         quantize_stage3=cfg.model.quantize_stage3,
+        fuse_xheads=cfg.model.fuse_xheads,
     )
 
     log_dir = os.path.join("log", args.model, f"version_{args.version_id}")

@@ -56,6 +56,7 @@ def main():
         radius=cfg.model.radius,
         compute_dtype=jnp.dtype(cfg.model.compute_dtype),
         remat_vit=cfg.model.remat_vit,
+        fuse_xheads=cfg.model.fuse_xheads,
     )
     log_dir = os.path.join("log", args.model, f"version_{args.version_id}")
     os.makedirs(log_dir, exist_ok=True)

@@ -124,6 +124,51 @@ class TestHeads:
             (2, 16, 16, 1), (2, 32, 32, 1), (2, 64, 64, 1),
         ]
 
+    def test_fused_xheads_match_unfused(self, rng):
+        """fuse_xheads=True (default): same param tree, same init values,
+        outputs and grads matching the reference-shaped unfused stacks
+        (models/flow.py::_fused_xheads is pure reassociation)."""
+        feats = [
+            jnp.asarray(rng.normal(size=(2, s, s, 256)).astype(np.float32))
+            for s in (16, 32, 64)
+        ]
+        reals = [f[:1] * 0.7 + 0.1 for f in feats]  # group=2 (folded hyps)
+        flow0 = jnp.asarray(rng.normal(size=(2, 16, 16, 2)).astype(np.float32))
+        cert0 = jnp.zeros((2, 16, 16, 1))
+        mf = FlowDecoder(num_levels=3, radius=4, fuse_xheads=True)
+        mu = FlowDecoder(num_levels=3, radius=4, fuse_xheads=False)
+        vf = mf.init(jax.random.PRNGKey(3), feats, reals, flow0, cert0)
+        vu = mu.init(jax.random.PRNGKey(3), feats, reals, flow0, cert0)
+        leaves_f = jax.tree_util.tree_leaves_with_path(vf)
+        leaves_u = jax.tree_util.tree_leaves_with_path(vu)
+        assert {jax.tree_util.keystr(k): v.shape for k, v in leaves_f} == {
+            jax.tree_util.keystr(k): v.shape for k, v in leaves_u
+        }
+        for (_, a), (_, b) in zip(leaves_f, leaves_u):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(m, v):
+            flows, certs = m.apply(v, feats, reals, flow0, cert0)
+            return sum(jnp.sum(f**2) for f in flows) + sum(
+                jnp.sum(c**2) for c in certs
+            )
+
+        lf, gf = jax.value_and_grad(lambda v: loss(mf, v))(vu)
+        lu, gu = jax.value_and_grad(lambda v: loss(mu, v))(vu)
+        np.testing.assert_allclose(float(lf), float(lu), rtol=1e-5)
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gf), key=lambda t: jax.tree_util.keystr(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gu), key=lambda t: jax.tree_util.keystr(t[0])),
+        ):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+            # grads pass through 3 decoder levels of corr/warp backward;
+            # reassociation noise reaches ~3e-3 relative on a few elements
+            # (a wrong grouping/padding would be O(1) everywhere)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+
     def test_quantized_conv_close_to_float(self, rng):
         """ops/qconv.py QConv: same param tree as nn.Conv, ~1% error."""
         import flax.linen as nn
