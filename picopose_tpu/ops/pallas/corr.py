@@ -129,9 +129,59 @@ def _window_kernel_packed(
     out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
+def _transposed_body(
+    f2w, f1, cen, row0, rows_n: int, Wp: int, radius: int, scale: float,
+    out_dtype,
+):
+    """Windowed transposed correlation: corr^T over source rows
+    [row0, row0 + rows_n) only, then the bilinear window as masked VPU
+    reductions.  Out-of-window / out-of-image taps match no row/col index
+    and contribute zero (grid_sample padding_mode='zeros')."""
+    n = 2 * radius + 1
+    fp32_in = f1.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if fp32_in else None
+    TP = f1.shape[0]
+
+    corrT = jax.lax.dot_general(
+        f2w, f1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale  # (rows_n * Wp, TP) fp32
+    corr3 = corrT.reshape(rows_n, Wp, TP)
+
+    cx, cy = cen[0:1, :], cen[1:2, :]      # (1, TP)
+    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
+    fx, fy = cx - x0f, cy - y0f
+    x0 = x0f.astype(jnp.int32) - radius    # (1, TP) first tap per axis
+    y0 = y0f.astype(jnp.int32) - radius
+
+    # y phase: bilinear weight folded into the row mask, reduced over the
+    # major axis (out-of-range rows match neither ky nor ky+1 -> zero)
+    rel = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows_n, TP), 0) + row0 - y0
+    )  # (rows_n, TP)
+    zero = jnp.float32(0.0)
+    rows = []
+    for ky in range(n):
+        wy = jnp.where(rel == ky, 1.0 - fy, zero) + jnp.where(
+            rel == ky + 1, fy, zero
+        )  # (rows_n, TP)
+        rows.append(jnp.sum(corr3 * wy[:, None, :], axis=0))  # (Wp, TP)
+
+    # x phase: same fold over the sublane (Wp) axis
+    relx = jax.lax.broadcasted_iota(jnp.int32, (Wp, TP), 0) - x0  # (Wp, TP)
+    cols = []
+    for kx in range(n):
+        wx = jnp.where(relx == kx, 1.0 - fx, zero) + jnp.where(
+            relx == kx + 1, fx, zero
+        )
+        for ky in range(n):  # channel k = kx*n + ky (outer index walks x)
+            cols.append(jnp.sum(rows[ky] * wx, axis=0, keepdims=True))
+    return jnp.concatenate(cols, axis=0).astype(out_dtype)
+
+
 def _window_kernel_transposed(
     f1_ref, f2_ref, cent_ref, out_ref, *, Hp: int, Wp: int, radius: int,
-    scale: float,
+    scale: float, K: int,
 ):
     """Transposed variant: corr^T = f2 @ f1^T keeps PIXELS on the lane axis,
     so the window's row selection becomes a masked reduction over the MAJOR
@@ -144,55 +194,50 @@ def _window_kernel_transposed(
     window runs on the VPU with the y-weights folded into the masks
     (n weighted reductions, not n+1 masked + n combines).
 
-    Zero-padding semantics are identical: out-of-range window rows/cols
-    match no iota value and contribute nothing.  Output is written
-    (nn, TP) — channel-major — and un-transposed by the caller in XLA.
+    Row window (K < Hp): only a (2r+2)-row band of the source around each
+    pixel's window center contributes, and flow is locally smooth, so the
+    whole tile's taps almost always fit a K-row band — the correlation
+    matmul then contracts (K*Wp, C) instead of (Q, C) (4x fewer MXU flops
+    and masked-reduction rows at the 64^2 level; same trick as
+    ops/pallas/warp.py).  Out-of-band taps match no row index in any
+    window, so zeros padding holds under the shift; a tile whose valid
+    taps span >= K rows falls back to the exact full-Q contraction.
+
+    Output is written (nn, TP) — channel-major — and un-transposed by the
+    caller in XLA.
 
     cent_ref carries the window centers TRANSPOSED, (1, 2, TP): the weight
     arithmetic needs centers with pixels on the lane axis, and reshaping
     (TP, 2) -> (2, TP) inside the kernel would be a Mosaic relayout.
     """
-    n = 2 * radius + 1
     f1 = f1_ref[0]  # (TP, C)
-    f2 = f2_ref[0]  # (Q, C)
-    TP = f1.shape[0]
-    fp32_in = f1.dtype == jnp.float32
-    prec = jax.lax.Precision.HIGHEST if fp32_in else None
-
-    corrT = jax.lax.dot_general(
-        f2, f1, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * scale  # (Q, TP) fp32
-    corr3 = corrT.reshape(Hp, Wp, TP)
-
     cen = cent_ref[0].astype(jnp.float32)  # (2, TP): row 0 = x, row 1 = y
-    cx, cy = cen[0:1, :], cen[1:2, :]      # (1, TP)
-    x0f, y0f = jnp.floor(cx), jnp.floor(cy)
-    fx, fy = cx - x0f, cy - y0f
-    x0 = x0f.astype(jnp.int32) - radius    # (1, TP) first tap per axis
-    y0 = y0f.astype(jnp.int32) - radius
 
-    # y phase: bilinear weight folded into the row mask, reduced over the
-    # major Hp axis (out-of-range rows match neither ky nor ky+1 -> zero)
-    rel = jax.lax.broadcasted_iota(jnp.int32, (Hp, TP), 0) - y0  # (Hp, TP)
-    zero = jnp.float32(0.0)
-    rows = []
-    for ky in range(n):
-        wy = jnp.where(rel == ky, 1.0 - fy, zero) + jnp.where(
-            rel == ky + 1, fy, zero
-        )  # (Hp, TP)
-        rows.append(jnp.sum(corr3 * wy[:, None, :], axis=0))  # (Wp, TP)
-
-    # x phase: same fold over the sublane (Wp) axis
-    relx = jax.lax.broadcasted_iota(jnp.int32, (Wp, TP), 0) - x0  # (Wp, TP)
-    cols = []
-    for kx in range(n):
-        wx = jnp.where(relx == kx, 1.0 - fx, zero) + jnp.where(
-            relx == kx + 1, fx, zero
+    if K >= Hp:
+        out_ref[0] = _transposed_body(
+            f2_ref[0], f1, cen, 0, Hp, Wp, radius, scale, out_ref.dtype
         )
-        for ky in range(n):  # channel k = kx*n + ky (outer index walks x)
-            cols.append(jnp.sum(rows[ky] * wx, axis=0, keepdims=True))
-    out_ref[0] = jnp.concatenate(cols, axis=0).astype(out_ref.dtype)
+        return
+
+    n = 2 * radius + 1
+    y0 = jnp.floor(cen[1, :]).astype(jnp.int32) - radius  # (TP,) first tap
+    lo = jnp.clip(jnp.min(y0), 0, Hp - 1)
+    hi = jnp.clip(jnp.max(y0) + n, 0, Hp - 1)
+    ry0 = jnp.minimum(lo, Hp - K)
+    in_band = hi - lo < K
+
+    @pl.when(in_band)
+    def _():
+        f2w = f2_ref[0, pl.ds(ry0 * Wp, K * Wp), :]
+        out_ref[0] = _transposed_body(
+            f2w, f1, cen, ry0, K, Wp, radius, scale, out_ref.dtype
+        )
+
+    @pl.when(jnp.logical_not(in_band))
+    def _():
+        out_ref[0] = _transposed_body(
+            f2_ref[0], f1, cen, 0, Hp, Wp, radius, scale, out_ref.dtype
+        )
 
 
 def _window_kernel(
@@ -258,14 +303,14 @@ def _window_kernel(
     out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
 
 
-def _pick_tile(P: int, Q: int) -> int:
+def _pick_tile(P: int, Q: int, max_tp: int = 2048) -> int:
     """Pixel-tile size: as large as the fp32 correlation block (TP x Q)
     allows within ~6 MB of VMEM, at least 256.  Small pyramid levels were
     program-count-bound (the Q=256 level cost almost as much as the Q=1024
     one at a fixed 256-pixel tile)."""
     budget = max(256, (6 * 1024 * 1024) // (Q * 4))
     tp = 256
-    while tp * 2 <= min(P, budget, 2048):
+    while tp * 2 <= min(P, budget, max_tp):
         tp *= 2
     tp = min(tp, P)
     while P % tp:
@@ -302,14 +347,22 @@ def corr_window_pallas(
     B, P, C = f1.shape
     Q = f2.shape[1]
     n = 2 * radius + 1
-    TP = _pick_tile(P, Q)
     if transposed:
+        # row window (see _window_kernel_transposed): K source rows per
+        # tile; cap the tile to K/2 image rows so half the band is slack
+        # for the flow's local y-spread before the full-Q fallback
+        import os
+
+        K = 16 if Hp > 16 and os.environ.get(
+            "PICOPOSE_ROW_WINDOW", "1"
+        ) != "0" else Hp
+        TP = _pick_tile(P, Q, max_tp=(K // 2) * Wp if K < Hp else 2048)
         # centers transposed so the kernel's lane axis carries pixels; the
         # channel-major output is un-transposed here in XLA (tiny relayout)
         cent = jnp.swapaxes(cen, 1, 2)  # (B, 2, P)
         kernel = functools.partial(
             _window_kernel_transposed, Hp=Hp, Wp=Wp, radius=radius,
-            scale=float(C) ** -0.5,
+            scale=float(C) ** -0.5, K=K,
         )
         out = pl.pallas_call(
             kernel,
@@ -327,7 +380,7 @@ def corr_window_pallas(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, n * n, P), f1.dtype),
             cost_estimate=pl.CostEstimate(
-                flops=2 * B * P * Q * C,
+                flops=2 * B * P * min(K * Wp, Q) * C,
                 bytes_accessed=(B * P * C + B * Q * C) * f1.dtype.itemsize,
                 transcendentals=0,
             ),
@@ -337,6 +390,7 @@ def corr_window_pallas(
             interpret=interpret,
         )(f1, f2, cent)
         return jnp.swapaxes(out, 1, 2)  # (B, P, nn)
+    TP = _pick_tile(P, Q)
     common = dict(
         grid=(B, P // TP),
         out_specs=pl.BlockSpec((1, TP, n * n), lambda b, t: (b, t, 0),

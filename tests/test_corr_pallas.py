@@ -64,6 +64,27 @@ def test_kernel_matches_xla_path(rng, g, num_levels, variant):
     )
 
 
+def test_transposed_row_window_and_fallback(rng):
+    """g=64 runs the transposed kernel's K=16 row window; flows are crafted
+    to hit the in-band path, the full-Q fallback (spread >= K in one tile),
+    and window centers whose taps cross the image borders."""
+    B, g, C, r = 1, 64, 64, 2
+    f1 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
+    fl = np.asarray(rng.normal(size=(B, g, g, 2)) * 2, np.float32)
+    fl[0, 12:14, :, 1] = np.where(
+        np.arange(g)[None, :] % 2 == 0, -25.0, 25.0
+    )  # spread > K within one tile -> exact fallback
+    fl[0, 0:2, :, 1] = -4.0   # taps below row 0
+    fl[0, 62:64, :, 1] = 4.0  # taps past the last row
+    fl = jnp.asarray(fl)
+    ref = _corr_lookup_xla(f1, f2, fl, r, 1)
+    out = _pallas_lookup_interpret(f1, f2, fl, r, 1, variant="transposed")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_kernel_matches_reference_dataflow(rng):
     """Direct pin against the materialized-pyramid oracle (the reference's
     CorrelationPyramid + CorrLookup dataflow, utils/corr_lookup.py:100-134),

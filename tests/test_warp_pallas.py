@@ -38,6 +38,26 @@ def test_out_of_range_is_zero(rng):
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+def test_row_window_and_fallback_paths(rng):
+    """g=64 runs the K=16 row-windowed contraction; per-tile flows are
+    crafted to hit (a) the in-band fast path (smooth small flow), (b) the
+    full-Q fallback (y-spread >= K inside one tile), and (c) negative /
+    past-edge taps whose zero-padding must hold in a shifted window."""
+    B, g, C = 1, 64, 32
+    feat = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
+    flow = np.zeros((B, g, g, 2), np.float32)
+    flow[..., :] = rng.normal(size=(B, g, g, 2)).astype(np.float32) * 2  # (a)
+    flow[0, 8:10, :, 1] = np.where(
+        np.arange(g)[None, :] % 2 == 0, -30.0, 30.0
+    )  # (b): spread 60 rows within one tile
+    flow[0, 0:2, :, 1] = -3.5   # (c): taps below row 0
+    flow[0, 62:64, :, 1] = 3.5  # (c): taps past the last row
+    flow = jnp.asarray(flow)
+    ref = _warp_by_flow_xla(feat, flow)
+    out = _pallas_warp_interpret(feat, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_custom_vjp_matches_xla_grads(rng):
     B, g, C = 1, 16, 32
     feat = jnp.asarray(rng.normal(size=(B, g, g, C)).astype(np.float32))
