@@ -103,6 +103,15 @@ def main(
         pose=jnp.asarray(pose),
         K=jnp.asarray(K),
         M=jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32), (views, 3, 3))),
+        # Production banks cache the template-side DPT pyramids
+        # (eval/pipeline.py::build_template_bank, cache_dpt=True default),
+        # so stage 3 does zero template conv work per query batch.  The
+        # bench bank must match, or it times a program production never
+        # runs (~16 ms/batch of per-hypothesis template DPT recompute).
+        dpt=tuple(
+            jnp.asarray(rng.normal(size=(views, g, g, 256)), jnp.bfloat16)
+            for g in (16, 32, 64)
+        ),
     )
     batch_data = {
         "real_rgb": jnp.asarray(rng.normal(size=(batch, 224, 224, 3)), jnp.float32),
