@@ -168,12 +168,19 @@ def run_batch(
     p2_flat = head(real_pts2d).reshape(BH3, G * G, 2)
     pts2d = jnp.take_along_axis(p2_flat, (yi * G + xi)[..., None], axis=1)
 
-    # template camera points -> model frame (pose_recovery.py:84)
+    # template camera points -> model frame (pose_recovery.py:84).
+    # Written as three broadcast multiply-adds, NOT an einsum: a K=3
+    # contraction on the MXU pads the reduction dim 3 -> 128 and ran at
+    # ~1% of peak in the device trace (2.3 ms for 7.9 MB of work); the
+    # VPU form is exact f32 and ~50x faster at these shapes.
     tem_pose3 = head(tem_pose)
     cam_pts = head(tem_pts3d).reshape(BH3, G * G, 3)
     Rt, tt = tem_pose3[:, :3, :3], tem_pose3[:, :3, 3]
-    model_pts = jnp.einsum(
-        "bnj,bji->bni", cam_pts - tt[:, None], Rt, precision="highest"
+    centered = cam_pts - tt[:, None]
+    model_pts = (
+        centered[..., 0:1] * Rt[:, None, 0, :]
+        + centered[..., 1:2] * Rt[:, None, 1, :]
+        + centered[..., 2:3] * Rt[:, None, 2, :]
     )
     valid &= cam_pts[..., 2] > 1e-6  # no template depth -> invalid
 

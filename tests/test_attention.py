@@ -25,6 +25,22 @@ class TestAttention:
         np.testing.assert_allclose(ours, ref, atol=2e-3)
 
     @pytest.mark.parametrize("N", [257])
+    @pytest.mark.parametrize("B,H", [(1, 2), (1, 3), (4, 4)])
+    def test_pallas_slice_blocking(self, rng, N, B, H):
+        # B*H in {2, 3, 16}: exercises slice-blocks S=2 (gcd fallback),
+        # S=1 (odd batch*head), and the full S=4 path
+        D = 64
+        q = rng.normal(size=(B, H, N, D)).astype(np.float32)
+        k = rng.normal(size=(B, H, N, D)).astype(np.float32)
+        v = rng.normal(size=(B, H, N, D)).astype(np.float32)
+        ref = np.asarray(attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        ours = np.asarray(
+            flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            interpret=True)
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+    @pytest.mark.parametrize("N", [257])
     def test_pallas_matches_xla_interpret(self, rng, N):
         B, H, D = 1, 2, 64
         q = rng.normal(size=(B, H, N, D)).astype(np.float32)
