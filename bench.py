@@ -81,6 +81,10 @@ def main(
     imgs0 = jnp.zeros((1, 224, 224, 3), jnp.float32)
     masks0 = jnp.ones((1, 224, 224), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), imgs0, masks0, True)
+    # production eval stores bf16-consumed weights as bf16 (utils/precast.py)
+    from picopose_tpu.utils.precast import precast_inference_params
+
+    variables = precast_inference_params(variables)
 
     C = VIT_CONFIGS[vit].embed_dim
     # synthetic resident bank (bf16 features like production)

@@ -153,6 +153,12 @@ def evaluate_dataset(
     import jax.numpy as jnp
 
     from picopose_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from picopose_tpu.utils.precast import precast_inference_params
+
+    if jnp.dtype(model.compute_dtype) == jnp.bfloat16:
+        # store bf16-consumed weights as bf16 in HBM (bitwise-identical
+        # outputs, half the weight traffic — utils/precast.py)
+        variables = precast_inference_params(variables)
 
     if use_mesh is None:
         use_mesh = jax.device_count() > 1

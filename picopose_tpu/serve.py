@@ -157,6 +157,11 @@ class PoseEstimator:
             self.variables = self.model.init(
                 jax.random.PRNGKey(0), imgs, jnp.ones((1, img_size, img_size)), True
             )
+        if jnp.dtype(self.model.compute_dtype) == jnp.bfloat16:
+            # bitwise-identical bf16 weight storage (utils/precast.py)
+            from picopose_tpu.utils.precast import precast_inference_params
+
+            self.variables = precast_inference_params(self.variables)
 
     # ---- object registration -------------------------------------------
 
