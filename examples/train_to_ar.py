@@ -121,6 +121,9 @@ def main():
          "--max_steps", str(args.steps), "--set",
          "trainer.iters_to_print=50",
          f"trainer.training_epoch={epochs}",
+         # short synthetic epochs: per-epoch orbax saves would cost ~10 s
+         # + 0.7 GB each; eval only needs the final checkpoint
+         f"trainer.ckpt_every_epochs={max(1, epochs // 4)}",
          "trainer.n_devices=1",
          f"optimizer.lr={args.lr}",
          "optimizer.betas=[0.9,0.999]",

@@ -73,6 +73,43 @@ def prefetch_batches(
         stop.set()
 
 
+def device_prefetch(
+    batches: Iterator[dict[str, np.ndarray]], mesh, depth: int = 2
+) -> Iterator[dict]:
+    """Upload batches to device `depth` ahead of consumption.
+
+    A synchronous shard_batch in the step loop serializes ~10-15 MB of
+    host->device copies into every step gap; on a remote-attached device
+    (the development tunnel) that upload latency dominated the measured
+    step time (~2 s/iter wall vs ~0.4 s of device work).  One uploader
+    thread with a bounded queue keeps copies under compute — the same
+    depth-2 discipline as the eval runner's dispatch/fetch pipeline.
+    jax.device_put is thread-safe; shard_batch takes the mesh explicitly
+    so the (thread-local) mesh context is not needed here."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def produce():
+        try:
+            for b in batches:
+                q.put(
+                    shard_batch(
+                        {k: jax.numpy.asarray(v) for k, v in b.items()}, mesh
+                    )
+                )
+            q.put(None)
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 _W_DS = None
 _W_SEED = 0
 _W_EPOCH = 0
@@ -353,11 +390,8 @@ def run_training(
                     dataset, bs, steps=n_steps,
                     workers=cfg.train_dataloader.num_workers,
                 )
-            for batch in batches:
+            for sharded in device_prefetch(batches, mesh):
                 key, sub = jax.random.split(key)
-                sharded = shard_batch(
-                    {k: jax.numpy.asarray(v) for k, v in batch.items()}, mesh
-                )
                 state, losses = step_fn(state, sharded, sub)
                 step += 1
                 # deferred logging: no host sync until the print boundary
@@ -370,5 +404,11 @@ def run_training(
                 if step >= total:
                     break
             logger.epoch(epoch, step)
-            ckpt.save(mgr, step, state)
+            cadence = getattr(cfg.trainer, "ckpt_every_epochs", 1)
+            if (
+                (epoch + 1) % max(cadence, 1) == 0
+                or step >= total
+                or epoch == cfg.trainer.training_epoch - 1
+            ):
+                ckpt.save(mgr, step, state)
         mgr.wait_until_finished()

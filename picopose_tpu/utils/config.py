@@ -32,6 +32,11 @@ class TrainerConfig:
     # backbone weights — the reference's stage1 `pretrained: True`
     # (train/loop.py::warm_start).  None = random init.
     init_checkpoint: str | None = None
+    # checkpoint every N epochs (the final epoch always saves).  1 =
+    # the reference's per-epoch cadence (save_top_k=-1, keep all); a
+    # short-epoch run (synthetic overfit loops) pays ~10 s of orbax
+    # save wait + ~0.7 GB disk PER EPOCH at cadence 1.
+    ckpt_every_epochs: int = 1
 
 
 @dataclass

@@ -395,3 +395,31 @@ class TestProcessLoader:
             a, b = ds_c.get(i), ds_u.get(i)
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+class TestDevicePrefetch:
+    def test_uploads_ahead_and_propagates_errors(self):
+        """device_prefetch: order-preserving sharded uploads with a depth-2
+        queue; producer exceptions surface in the consumer (train/loop.py)."""
+        import jax
+
+        from picopose_tpu.parallel.mesh import make_mesh
+        from picopose_tpu.train.loop import device_prefetch
+
+        mesh = make_mesh(n_data=1)
+        batches = iter(
+            [{"a": np.full((4, 8), i, np.float32)} for i in range(5)]
+        )
+        out = list(device_prefetch(batches, mesh))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert isinstance(b["a"], jax.Array)
+            assert b["a"].shape == (4, 8)
+            assert float(b["a"][0, 0]) == float(i)
+
+        def bad():
+            yield {"a": np.ones((2, 2), np.float32)}
+            raise RuntimeError("producer boom")
+
+        with pytest.raises(RuntimeError, match="producer boom"):
+            list(device_prefetch(bad(), mesh))
