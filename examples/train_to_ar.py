@@ -47,7 +47,8 @@ def run(cmd, log_path, env=None):
         raise SystemExit(f"command failed rc={rc}: {' '.join(cmd)}")
 
 
-def eval_and_score(root, version, tag, extra_set=(), env=None):
+def eval_and_score(root, version, tag, extra_set=(), env=None,
+                   paired_vs=None):
     csv_dir = os.path.join(
         REPO, "log", "picopose", f"version_{version}", "fakeds_eval"
     )
@@ -65,12 +66,17 @@ def eval_and_score(root, version, tag, extra_set=(), env=None):
     # run_test.py names the CSV after the hypothesis count
     csv = os.path.join(csv_dir, f"picopose-stage3-{HYP}hyp_fakeds-test.csv")
     score_log = os.path.join(root, f"score_{tag}.log")
-    run(
-        [sys.executable, "score_csv.py", "--csv", csv, "--data_dir",
-         f"{root}/bop", "--dataset", "fakeds", "--vsd",
-         "--bootstrap", "2000"],
-        score_log,
-    )
+    # every arm dumps its per-GT-instance records; serving-mode arms add a
+    # PAIRED bootstrap delta vs the faithful trained arm — all arms score
+    # the same instances, so pairing shrinks the delta CI ~10x vs the
+    # independent per-arm CIs (docs/PARITY.md "Serving-mode AR deltas")
+    score_cmd = [sys.executable, "score_csv.py", "--csv", csv, "--data_dir",
+                 f"{root}/bop", "--dataset", "fakeds", "--vsd",
+                 "--bootstrap", "2000",
+                 "--dump_records", os.path.join(root, f"records_{tag}.pkl")]
+    if paired_vs is not None:
+        score_cmd += ["--paired_vs", os.path.join(root, f"records_{paired_vs}.pkl")]
+    run(score_cmd, score_log)
     # score_csv ends with an indent=2 JSON object; parse from the last
     # line that opens one (the log may or may not have content before it)
     text = open(score_log).read()
@@ -79,43 +85,7 @@ def eval_and_score(root, version, tag, extra_set=(), env=None):
     return json.loads(text[starts[-1]:])
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/ar_world")
-    ap.add_argument("--steps", type=int, default=1500)
-    ap.add_argument("--train_views", type=int, default=128)
-    ap.add_argument("--test_views", type=int, default=8)
-    ap.add_argument("--objects", default="",
-                    help="comma list from {lshape,tex,cube} for the world "
-                         "builder (empty = single lshape)")
-    ap.add_argument("--pair_frac", type=float, default=0.0)
-    ap.add_argument("--scenes", type=int, default=1)
-    ap.add_argument("--bs", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=2e-4)
-    ap.add_argument("--version", type=int, default=910)
-    ap.add_argument("--skip_world", action="store_true",
-                    help="reuse an existing --root")
-    args = ap.parse_args()
-    root = os.path.abspath(args.root)
-
-    if not args.skip_world:
-        run(
-            [sys.executable, "tools/synthetic_world.py", "--root", root,
-             "--train", str(args.train_views), "--test",
-             str(args.test_views), "--objects", args.objects,
-             "--pair_frac", str(args.pair_frac),
-             "--scenes", str(args.scenes)],
-            os.path.join("/tmp", "world_gen.log"),
-        )
-
-    # 1. random-init baseline (a version id with no checkpoints)
-    base_version = args.version + 1
-    os.makedirs(os.path.join(root), exist_ok=True)
-    baseline = eval_and_score(root, base_version, "random")
-    print("random-init:", json.dumps(baseline))
-
-    # 2. train from scratch through the real CLI
-    epochs = max(1, args.steps * args.bs // max(args.train_views, 1) + 1)
+def _train(args, root, epochs):
     run(
         [sys.executable, "run_train.py", "--version_id", str(args.version),
          "--max_steps", str(args.steps), "--set",
@@ -137,6 +107,50 @@ def main():
         os.path.join(root, "train.log"),
     )
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/ar_world")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--train_views", type=int, default=128)
+    ap.add_argument("--test_views", type=int, default=8)
+    ap.add_argument("--objects", default="",
+                    help="comma list from {lshape,tex,cube} for the world "
+                         "builder (empty = single lshape)")
+    ap.add_argument("--pair_frac", type=float, default=0.0)
+    ap.add_argument("--scenes", type=int, default=1)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--version", type=int, default=910)
+    ap.add_argument("--skip_world", action="store_true",
+                    help="reuse an existing --root")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse --version's existing checkpoint; rerun only "
+                         "the eval arms + paired scoring")
+    args = ap.parse_args()
+    root = os.path.abspath(args.root)
+
+    if not args.skip_world:
+        run(
+            [sys.executable, "tools/synthetic_world.py", "--root", root,
+             "--train", str(args.train_views), "--test",
+             str(args.test_views), "--objects", args.objects,
+             "--pair_frac", str(args.pair_frac),
+             "--scenes", str(args.scenes)],
+            os.path.join("/tmp", "world_gen.log"),
+        )
+
+    # 1. random-init baseline (a version id with no checkpoints)
+    base_version = args.version + 1
+    os.makedirs(os.path.join(root), exist_ok=True)
+    baseline = eval_and_score(root, base_version, "random")
+    print("random-init:", json.dumps(baseline))
+
+    # 2. train from scratch through the real CLI
+    epochs = max(1, args.steps * args.bs // max(args.train_views, 1) + 1)
+    if not args.skip_train:
+        _train(args, root, epochs)
+
     # 3. eval + score the trained checkpoint (faithful mode)
     trained = eval_and_score(root, args.version, "trained")
     print("trained:", json.dumps(trained))
@@ -145,17 +159,18 @@ def main():
     # stage3_topk serving mode — the measured AR deltas docs/PARITY.md
     # cites for both opt-ins.
     trained_int8 = eval_and_score(
-        root, args.version, "trained_int8", env={"PICOPOSE_MATCH_INT8": "1"}
+        root, args.version, "trained_int8", env={"PICOPOSE_MATCH_INT8": "1"},
+        paired_vs="trained",
     )
     print("trained int8-matching:", json.dumps(trained_int8))
     trained_topk1 = eval_and_score(
         root, args.version, "trained_topk1",
-        extra_set=("model.stage3_topk=1",),
+        extra_set=("model.stage3_topk=1",), paired_vs="trained",
     )
     print("trained stage3_topk=1:", json.dumps(trained_topk1))
     trained_quant = eval_and_score(
         root, args.version, "trained_quant",
-        extra_set=("model.quantize_stage3=true",),
+        extra_set=("model.quantize_stage3=true",), paired_vs="trained",
     )
     print("trained quantize_stage3:", json.dumps(trained_quant))
 

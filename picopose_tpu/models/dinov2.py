@@ -52,6 +52,12 @@ VIT_CONFIGS = {
     "dinov2_vitb14": ViTConfig(768, 12, 12),
     "dinov2_vitl14": ViTConfig(1024, 24, 16),
     "dinov2_vitg14": ViTConfig(1536, 40, 24, ffn_layer="swiglufused"),
+    # test-scale trunk (no pretrained counterpart): same architecture,
+    # 4 blocks x 128 dim — used by the multi-chip dryrun
+    # (__graft_entry__.py) where compile+execute wall on virtual CPU
+    # devices matters and only the sharding/collective structure is under
+    # test.  Not a serving config.
+    "vit_tiny_test": ViTConfig(128, 4, 4),
 }
 
 

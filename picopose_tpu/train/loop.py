@@ -14,6 +14,7 @@ checkpoints keeping all, resume) — without Lightning:
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import queue
 import threading
 from typing import Iterator
@@ -364,7 +365,12 @@ def run_training(
         rgb_mask_flag=cfg.train_dataset.rgb_mask_flag,
     )
     dataset = MegaPoseTrainingDataset(seed=cfg.trainer.rd_seed, **ds_kwargs)
-    use_procs = getattr(cfg.train_dataloader, "backend", "threads") == "procs"
+    backend = getattr(cfg.train_dataloader, "backend", "auto")
+    if backend == "auto":
+        # procs is the documented default for multi-core (TPU) hosts; the
+        # measured arms behind this choice are in docs/DATA.md
+        backend = "procs" if (os.cpu_count() or 1) >= 8 else "threads"
+    use_procs = backend == "procs"
 
     bs = cfg.train_dataloader.bs * mesh.shape["data"]
     iters_per_epoch = cfg.lr_scheduler.max_iters // cfg.trainer.training_epoch

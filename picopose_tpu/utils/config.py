@@ -112,11 +112,15 @@ class DataloaderConfig:
     num_workers: int = 10
     shuffle: bool = True
     drop_last: bool = True
-    # 'threads' (in-process pool, exactly reproducible stream) or 'procs'
+    # 'threads' (in-process pool, exactly reproducible stream), 'procs'
     # (worker processes producing whole collated batches — the scaling
     # backend for GIL-bound decode/augment, mirroring the reference's
-    # DataLoader num_workers processes, config/base.yaml:55)
-    backend: str = "threads"
+    # DataLoader num_workers processes, config/base.yaml:55), or 'auto'
+    # (default): procs when the host has the cores for it (>= 8, i.e. any
+    # real TPU host — v5e-8 hosts have 112 vCPU), threads on small dev
+    # boxes where process spin-up outweighs GIL relief.  Measured arms in
+    # docs/DATA.md (tools/loader_bench.py).
+    backend: str = "auto"
 
 
 @dataclass

@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--bootstrap", type=int, default=0, metavar="N",
                     help="add N-resample percentile-bootstrap 95%% CIs over "
                          "GT instances (key 'ci95')")
+    ap.add_argument("--dump_records", metavar="PKL",
+                    help="pickle the per-GT-instance hit records to PKL for "
+                         "later paired comparison (--paired_vs)")
+    ap.add_argument("--paired_vs", metavar="PKL",
+                    help="baseline records from a previous --dump_records run "
+                         "over the SAME ground truth; adds paired-bootstrap "
+                         "AR deltas (this run minus baseline, key "
+                         "'paired_delta_vs_baseline')")
     args = ap.parse_args()
 
     import numpy as np
@@ -134,7 +142,8 @@ def main():
                     np.asarray(imageio.imread(p), np.float64) * ds
                 )
 
-    records = [] if args.bootstrap else None
+    want_records = args.bootstrap or args.dump_records or args.paired_vs
+    records = [] if want_records else None
     result = score_bop19(
         estimates, gts, models, K_by_image,
         render_depth=render_depth, scene_depth_by_image=scene_depth,
@@ -144,6 +153,22 @@ def main():
         from picopose_tpu.eval.bop_scoring import bootstrap_ar
 
         result["ci95"] = bootstrap_ar(records, n_boot=args.bootstrap)
+    if args.dump_records:
+        import pickle
+
+        with open(args.dump_records, "wb") as f:
+            pickle.dump(records, f)
+    if args.paired_vs:
+        import pickle
+
+        from picopose_tpu.eval.bop_scoring import paired_delta_ar
+
+        with open(args.paired_vs, "rb") as f:
+            baseline_records = pickle.load(f)
+        result["paired_delta_vs_baseline"] = paired_delta_ar(
+            baseline_records, records,
+            n_boot=max(args.bootstrap, 2000),
+        )
     print(json.dumps(result, indent=2))
 
 

@@ -289,3 +289,85 @@ class TestIndependentFormulaCrossCheck:
             vsd(d_est, d_gt, None, taus, delta),
             ref(d_est, d_gt, np.zeros((H, W))), rtol=1e-12,
         )
+
+
+class TestPairedDelta:
+    """paired_delta_ar: paired bootstrap over shared GT instances."""
+
+    def _score(self, rng, ests, gts, m, Ks):
+        recs = []
+        s = score_bop19(ests, gts, {7: m}, Ks, per_instance=recs)
+        return s, recs
+
+    def _world(self, rng, n=24):
+        m = make_model(rng)
+        gts, Ks = [], {}
+        for i in range(n):
+            R = Rotation.random(random_state=i).as_matrix()
+            t = np.array([0.0, 0.0, 500.0 + 5 * i])
+            gts.append(GTInstance(1, i, 7, R, t))
+            Ks[(1, i)] = K
+        return m, gts, Ks
+
+    def test_identical_arms_zero_delta(self, rng):
+        from picopose_tpu.eval.bop_scoring import paired_delta_ar
+
+        m, gts, Ks = self._world(rng)
+        ests = [Estimate(g.scene_id, g.im_id, g.obj_id, 0.9, g.R, g.t)
+                for g in gts]
+        _, ra = self._score(rng, ests, gts, m, Ks)
+        _, rb = self._score(rng, ests, gts, m, Ks)
+        d = paired_delta_ar(ra, rb)
+        for metric in ("AR_MSSD", "AR_MSPD", "AR_mssd_mspd"):
+            assert d[metric]["delta"] == 0.0
+            assert d[metric]["ci95"] == [0.0, 0.0]
+            assert d[metric]["n"] == len(gts)
+
+    def test_paired_ci_tighter_than_independent(self, rng):
+        """Arm B perturbs a few estimates; per-arm CIs overlap widely while
+        the paired delta CI is tight around the true (negative) delta."""
+        from picopose_tpu.eval.bop_scoring import bootstrap_ar, paired_delta_ar
+
+        m, gts, Ks = self._world(rng, n=40)
+        # arm A: mixed quality — some perfect, some offset (difficulty
+        # variance across instances, the thing pairing cancels)
+        ests_a = []
+        for i, g in enumerate(gts):
+            off = np.array([0.02 * m.diameter * (i % 5), 0.0, 0.0])
+            ests_a.append(
+                Estimate(g.scene_id, g.im_id, g.obj_id, 0.9, g.R, g.t + off)
+            )
+        # arm B: same, but 4 instances degraded further
+        ests_b = []
+        for i, g in enumerate(gts):
+            extra = np.array([0.1 * m.diameter, 0, 0]) if i < 4 else 0.0
+            off = np.array([0.02 * m.diameter * (i % 5), 0.0, 0.0]) + extra
+            ests_b.append(
+                Estimate(g.scene_id, g.im_id, g.obj_id, 0.9, g.R, g.t + off)
+            )
+        sa, ra = self._score(rng, ests_a, gts, m, Ks)
+        sb, rb = self._score(rng, ests_b, gts, m, Ks)
+        true_delta = sb["AR_mssd_mspd"] - sa["AR_mssd_mspd"]
+        assert true_delta < 0
+
+        d = paired_delta_ar(ra, rb)["AR_mssd_mspd"]
+        assert np.isclose(d["delta"], true_delta, atol=1e-12)
+        lo, hi = d["ci95"]
+        assert lo <= true_delta <= hi
+        paired_width = hi - lo
+        ci_a = bootstrap_ar(ra)["AR_mssd_mspd"]
+        ci_b = bootstrap_ar(rb)["AR_mssd_mspd"]
+        indep_width = (ci_a[1] - ci_a[0]) + (ci_b[1] - ci_b[0])
+        assert paired_width < indep_width / 2
+
+    def test_mismatched_ground_truth_rejected(self, rng):
+        from picopose_tpu.eval.bop_scoring import paired_delta_ar
+
+        m, gts, Ks = self._world(rng, n=6)
+        ests = [Estimate(g.scene_id, g.im_id, g.obj_id, 0.9, g.R, g.t)
+                for g in gts]
+        _, ra = self._score(rng, ests, gts, m, Ks)
+        _, rb = self._score(rng, ests[:-1], gts[:-1], m,
+                            {k: v for k, v in list(Ks.items())[:-1]})
+        with pytest.raises(ValueError, match="record sets differ"):
+            paired_delta_ar(ra, rb)
