@@ -63,8 +63,15 @@ def eval_and_score(root, version, tag, extra_set=(), env=None,
         os.path.join(root, f"eval_{tag}.log"),
         env=env,
     )
-    # run_test.py names the CSV after the hypothesis count
+    # run_test.py names the CSV after the hypothesis count; every arm of
+    # one version writes the same path, so keep a per-arm copy (the
+    # cross-implementation comparison needs the FAITHFUL arm's CSV after
+    # later arms have overwritten the original — tools/cross_impl_ar.py)
     csv = os.path.join(csv_dir, f"picopose-stage3-{HYP}hyp_fakeds-test.csv")
+    import shutil
+
+    shutil.copyfile(csv, os.path.join(root, f"csv_{tag}.csv"))
+    csv = os.path.join(root, f"csv_{tag}.csv")
     score_log = os.path.join(root, f"score_{tag}.log")
     # every arm dumps its per-GT-instance records; serving-mode arms add a
     # PAIRED bootstrap delta vs the faithful trained arm — all arms score

@@ -37,8 +37,16 @@ import types
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 
-# keep the reference drive off any real accelerator: it is torch-CPU only
+# Keep the whole run off any real accelerator: the reference side is
+# torch-CPU, and our side only loads + exports a checkpoint — pulling
+# those leaves through a (possibly busy) TPU tunnel serves nothing.  The
+# env var is just the convention the CLIs honor (run_test.py:47-50); an
+# env var alone can't beat this environment's TPU-forcing sitecustomize,
+# so apply the jax config flip here too, before any jax client exists.
 os.environ.setdefault("PICOPOSE_FORCE_CPU", "1")
+import jax  # noqa: E402  (config must flip before first device use)
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def build_reference_net(vit_type: str, blocks: tuple[int, ...], hyp: int):
@@ -126,16 +134,16 @@ def reference_csv_over_world(
         )
         with torch.no_grad():
             feats = []
-            rgb_t = nchw(tem["rgb"])
+            rgb_t = nchw(tem["tem_rgb"])
             for s in range(0, len(rgb_t), batch):
                 feats.append(net.feature_extractor(rgb_t[s : s + batch])[-1])
         banks[obj_id] = {
             "tem_rgb": rgb_t,
-            "tem_mask": torch.from_numpy(tem["mask"].astype(np.float32)),
-            "tem_pts3d": torch.from_numpy(tem["pts3d"].astype(np.float32)),
-            "tem_pose": torch.from_numpy(tem["pose"].astype(np.float32)),
-            "tem_K": torch.from_numpy(tem["K"].astype(np.float32)),
-            "tem_M": torch.from_numpy(tem["M"].astype(np.float32)),
+            "tem_mask": torch.from_numpy(tem["tem_mask"].astype(np.float32)),
+            "tem_pts3d": torch.from_numpy(tem["tem_pts3d"].astype(np.float32)),
+            "tem_pose": torch.from_numpy(tem["tem_pose"].astype(np.float32)),
+            "tem_K": torch.from_numpy(tem["tem_K"].astype(np.float32)),
+            "tem_M": torch.from_numpy(tem["tem_M"].astype(np.float32)),
             "template_feature": torch.cat(feats),  # (N, C, 16, 16)
         }
         print(f"  bank obj {obj_id}: {len(rgb_t)} views")
@@ -171,8 +179,20 @@ def reference_csv_over_world(
                 "real_K": torch.from_numpy(
                     np.stack([i.K for i in insts]).astype(np.float32)
                 ),
+                # The reference dataset's real_pts2d is built from a
+                # (y, x)-stacked grid (utils/torch_utils.py:287-295) whose
+                # channel quirk cancels EXACTLY against forward_test_hyp's
+                # spatial transpose (picopose.py:76 permute(0,3,2,1)),
+                # leaving pose_recovery's gathered coord_2d sane.  Our
+                # Instance.pts2d uses the sane (x, y) convention, so the
+                # reference-convention tensor is its SPATIAL TRANSPOSE
+                # (crop matrices are scale+translation, which is what makes
+                # the two conventions differ by a pure transpose).  Feeding
+                # the sane grid directly puts u/v mixed coordinates into
+                # cv2.solvePnPRansac — poses come back row-swapped (AR ~0).
                 "real_pts2d": torch.from_numpy(
-                    np.stack([i.pts2d for i in insts]).astype(np.float32)
+                    np.stack([i.pts2d for i in insts])
+                    .transpose(0, 2, 1, 3).astype(np.float32)
                 ),
                 # passed through select_template_data, unused at test time
                 "real_pose": torch.eye(4)[None].repeat(B, 1, 1),
@@ -275,12 +295,17 @@ def main():
     state = {k: torch.from_numpy(v) for k, v in export_picopose(variables).items()}
     missing, unexpected = net.load_state_dict(state, strict=False)
     assert not unexpected, f"exported keys unknown to the reference: {unexpected}"
-    # only reference-dead modules may be missing (torch_export.py:20-25)
+    # only reference-dead modules may be missing (torch_export.py:20-25).
+    # refinenet4.resConfUnit1 is dead too: the top fusion block is called
+    # with a single input (reference dpt.py:267 `refinenet4(layer_4_rn,
+    # size=...)`), and resConfUnit1 only runs on a second, skip input
+    # (dpt.py:137-138) — refinenet4 never gets one.
     live_missing = [
         k for k in missing
         if not any(tag in k for tag in (
             "refinenet1", "output_conv", "mask_token", "norm.weight",
             "norm.bias", "gru", "flow_head", "feat_head",
+            "refinenet4.resConfUnit1",
         ))
     ]
     assert not live_missing, f"live reference keys not exported: {live_missing}"
@@ -295,16 +320,23 @@ def main():
         n_template_view=args.n_template_view,
     )
     ref_csv = os.path.join(out_dir, "reference.csv")
+    # template_dir/<dataset>/... — same join as run_test.py:126
     reference_csv_over_world(
-        net, dataset, os.path.join(root, "templates"), args.hyp,
-        args.batch, ref_csv,
+        net, dataset, os.path.join(root, "templates", args.dataset),
+        args.hyp, args.batch, ref_csv,
     )
 
-    # ---- score both CSVs; paired delta = ours minus reference
-    ours_csv = args.ours_csv or os.path.join(
-        REPO, "log", "picopose", f"version_{args.version}",
-        f"{args.dataset}_eval",
-        f"picopose-stage3-{args.hyp}hyp_{args.dataset}-test.csv",
+    # ---- score both CSVs; paired delta = ours minus reference.
+    # Prefer the faithful arm's preserved CSV (examples/train_to_ar.py
+    # writes csv_trained.csv): the version dir's CSV is overwritten by
+    # every later serving-mode arm, so it holds whichever arm ran LAST.
+    preserved = os.path.join(root, "csv_trained.csv")
+    ours_csv = args.ours_csv or (
+        preserved if os.path.exists(preserved) else os.path.join(
+            REPO, "log", "picopose", f"version_{args.version}",
+            f"{args.dataset}_eval",
+            f"picopose-stage3-{args.hyp}hyp_{args.dataset}-test.csv",
+        )
     )
     ref_records = os.path.join(out_dir, "ref_records.pkl")
     ref_score = score(
