@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,31 @@ def bicubic_resize_matrix(in_size: int, out_size: int, scale: float) -> np.ndarr
     return W.astype(np.float32)
 
 
+class MXULayerNorm(nn.Module):
+    """LayerNorm through ops/layernorm.py: a fused Pallas kernel on TPU
+    (stats as literal MXU dots — see ops/pallas/layernorm.py for why the
+    XLA lowering measured ~0.43 ms per LN in the eval pipeline and why a
+    plain ``x @ ones`` rewrite gets simplified back into that reduce), the
+    f32 XLA form elsewhere.  Param tree ('scale', 'bias') and eps match
+    ``nn.LayerNorm`` exactly, so checkpoints and the torch porter are
+    unaffected.  Reference LN semantics: vision_transformer.py blocks
+    (eps 1e-6).
+    """
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from picopose_tpu.ops.layernorm import layernorm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (C,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,))
+        y = layernorm(x, scale, bias, eps=self.epsilon)
+        return y.astype(self.dtype or x.dtype)
+
+
 class LayerScale(nn.Module):
     """Per-channel learnable scale (vendored layers/layer_scale.py)."""
 
@@ -156,10 +182,10 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=x.dtype)(x)
+        h = MXULayerNorm(epsilon=1e-6, name="norm1", dtype=x.dtype)(x)
         h = Attention(c.embed_dim, c.num_heads, name="attn")(h)
         x = x + LayerScale(c.embed_dim, c.init_values, name="ls1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=x.dtype)(x)
+        h = MXULayerNorm(epsilon=1e-6, name="norm2", dtype=x.dtype)(x)
         if c.ffn_layer == "swiglufused":
             h = SwiGLUFFNFused(c.embed_dim, name="mlp")(h)
         else:

@@ -115,6 +115,21 @@ def match_templates(
 
         q_k, t_k = q, t.reshape(N, S, C)
         if os.environ.get("PICOPOSE_MATCH_INT8", "0") == "1":
+            pass  # int8 quantizes from the f32 forms below
+        elif (
+            tem_feats.dtype == jnp.bfloat16
+            and os.environ.get("PICOPOSE_MATCH_FP32", "0") != "1"
+        ):
+            # Production banks store bf16 features; after the f32-accurate
+            # normalization above, rounding the operands back to bf16 runs
+            # the S x S x C cosine matmul at the bf16 MXU rate (the f32 form
+            # measured 3.9 ms/batch at ~45% MFU in the device trace).  Score
+            # perturbation is ~0.4%/sqrt(C) ~ 1e-4 relative — an order of
+            # magnitude below the int8 mode whose paired AR delta measured
+            # +0.0001 +/- 0.0063 (docs/PARITY.md).  PICOPOSE_MATCH_FP32=1
+            # restores the fp32-operand kernel.
+            q_k, t_k = q_k.astype(jnp.bfloat16), t_k.astype(jnp.bfloat16)
+        if os.environ.get("PICOPOSE_MATCH_INT8", "0") == "1":
             # OPT-IN (PICOPOSE_MATCH_INT8=1): normalized features live in
             # [-1, 1]; symmetric int8 at scale 127 costs <0.5% per element
             # and runs the S x S x C matmul on the int8 MXU with a quarter

@@ -28,15 +28,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
-    q = q_ref[...].astype(jnp.float32)  # (S, Np, D)
-    k = k_ref[...].astype(jnp.float32)
+    # operands stay in their storage dtype: for bf16 Q/K the MXU multiplies
+    # the same values the f32-upcast form would (bf16 products are exact,
+    # accumulation is f32 either way) but runs at the bf16 rate — the
+    # upcast QK^T was the largest piece of the 3.5 ms/eval-batch this
+    # kernel measured across the ViT-L's 24 calls.  The scale is applied
+    # to the f32 scores instead of the bf16 operand so it costs no
+    # operand-rounding.
+    q = q_ref[...]  # (S, Np, D)
+    k = k_ref[...]
     v = v_ref[...]
     s = jax.lax.dot_general(
-        q * scale,
+        q,
         k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (S, Np, Np)
+    ) * scale  # (S, Np, Np) f32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(col < n_valid, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)

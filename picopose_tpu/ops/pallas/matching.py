@@ -41,12 +41,17 @@ def _score_kernel(q_ref, qm_ref, t_ref, out_ref, *, S: int):
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * jnp.float32(1.0 / (127.0 * 127.0))
     else:
-        q = q_ref[0].astype(jnp.float32)     # (S, C) normalized query
-        t = t_ref[0].astype(jnp.float32)     # (S, C) normalized template view
+        # operands stay in their storage dtype: for the production bf16
+        # bank, a bf16 x bf16 -> f32 MXU dot multiplies the SAME values the
+        # f32-upcast form would (the convert adds no information) but runs
+        # at the bf16 MXU rate — the upcast form measured 3.9 ms/batch in
+        # the device trace (~45% MFU), this form ~2x that rate
+        q = q_ref[0]                         # (S, C) normalized query
+        t = t_ref[0]                         # (S, C) normalized template view
         sim = jax.lax.dot_general(
             q, t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (S_query, S_template)
+        )  # (S_query, S_template) f32
     sim = sim * qm_col
 
     rowmax = sim.max(axis=1, keepdims=True)           # (S, 1) score_t2s

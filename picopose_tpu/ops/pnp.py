@@ -310,10 +310,20 @@ def _ransac_pnp_single(
     # n_valid < S the tail indices are invalid and masked by valid_s.  The
     # polish/refit/final phases below still score strictly on ALL points —
     # the returned pose and inlier ratio are subset-free.
+    #
+    # All per-point columns ride ONE packed (N, 8) array so each index set
+    # costs a single row gather: the four separate subset gathers (pts3d /
+    # pts2d_px / uv / valid) measured ~2.7 ms/batch of kCustom gather time
+    # in the device trace; packed they move the same bytes in one pass.
+    packed = jnp.concatenate(
+        [pts3d, uv, pts2d_px, w[..., None]], axis=-1
+    )  # (N, 8): [xyz | uv_norm | uv_px | valid]
     S = min(score_subset, N)
     keys_sub = jnp.where(valid, jax.random.uniform(k_sub, (N,)), -jnp.inf)
     _, sub = jax.lax.top_k(keys_sub, S)
-    pts3d_s, pts2d_s, valid_s = pts3d[sub], pts2d_px[sub], valid[sub]
+    packed_s = packed[sub]
+    pts3d_s, pts2d_s = packed_s[:, :3], packed_s[:, 5:7]
+    valid_s = packed_s[:, 7] > 0.5
     nv_s = jnp.maximum(valid_s.sum(), 1.0)  # = min(S, n_valid) distinct pts
 
     # A minimal DLT is too noise-sensitive under weak perspective (small
@@ -329,7 +339,8 @@ def _ransac_pnp_single(
 
     def solve_dlt(idx):
         ws = jnp.ones((sample,), jnp.float32)
-        R, t, ok = _weighted_dlt(pts3d[idx], uv[idx], ws)
+        row = packed[idx]  # one gather for [xyz | uv_norm]
+        R, t, ok = _weighted_dlt(row[:, :3], row[:, 3:5], ws)
         err2 = _reproj_err2_px(pts3d_s, pts2d_s, K, R, t)
         loose = (err2 < (4.0 * reproj_px) ** 2) & valid_s
         score = jnp.where(ok, loose.sum(), -1)
@@ -344,12 +355,13 @@ def _ransac_pnp_single(
     # is if anything closer to its estimator than full-N refinement.  Only
     # the FINAL inlier count of the chosen pose — the quantity that ranks
     # hypotheses in run_test.py:186 — is computed over all N points.
-    uv_s = uv[sub]
+    uv_s = packed_s[:, 3:5]
 
     def polish_one(h):
         idx = sample_idx[h]
         ws = jnp.ones((sample,), jnp.float32)
-        R, t = _gauss_newton(pts3d[idx], uv[idx], ws, R_d[h], t_d[h],
+        row = packed[idx]
+        R, t = _gauss_newton(row[:, :3], row[:, 3:5], ws, R_d[h], t_d[h],
                              hyp_refine_iters)
         err2 = _reproj_err2_px(pts3d_s, pts2d_s, K, R, t)
         inl = (err2 < reproj_px**2) & valid_s
@@ -382,6 +394,16 @@ def _ransac_pnp_single(
     use_gn = ((err2_gn < reproj_px**2) & valid_s).sum() >= best_score
     R_out = jnp.where(use_gn, R2, R1)
     t_out = jnp.where(use_gn, t2, t1)
+
+    # Final orthonormality polish: the GN updates chain ~13 f32 3x3
+    # products (exp_so3 deltas), which can drift R^T R off identity by
+    # ~2e-3 in the worst case.  Two det-scaled Newton polar steps converge
+    # quadratically, pulling the drift below f32 roundoff, so consumers
+    # always receive a true rotation — the guarantee cv2.Rodrigues gives
+    # the reference's CSV writer (utils/pose_recovery.py:97-104).
+    for _ in range(2):
+        g = 1.0 / jnp.cbrt(jnp.abs(_det3(R_out)) + 1e-20)
+        R_out = 0.5 * (g * R_out + jnp.swapaxes(_inv3(R_out), -1, -2) / g)
 
     # --- final strict inlier count of the chosen pose over ALL points
     err2_final = _reproj_err2_px(pts3d, pts2d_px, K, R_out, t_out)

@@ -314,6 +314,38 @@ def case_slope2():
     print(f"query DPT B=16: 1x {t1:.1f}, 2x {t2:.1f} -> per-op {t2 - t1:.1f} ms")
 
 
+def case_ln():
+    """LayerNorm stats on VPU (flax kLoop reduce) vs MXU dots, chained x24
+    as in a ViT-L forward.  Slope form (1x vs 2x chains) removes RTT."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from picopose_tpu.models.dinov2 import MXULayerNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 257, 1024)), jnp.bfloat16)
+
+    for label, mod in [
+        ("flax nn.LayerNorm", nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)),
+        ("MXULayerNorm", MXULayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)),
+    ]:
+        v = mod.init(jax.random.PRNGKey(0), x)
+
+        def chain(v, a, reps):
+            for i in range(reps):
+                # +a breaks CSE; mimics LN-on-residual-stream dataflow
+                a = mod.apply(v, a) + a * jnp.bfloat16(0.999)
+            return a
+
+        t1 = timeit(jax.jit(lambda v, a: chain(v, a, 24)), v, x)
+        t2 = timeit(jax.jit(lambda v, a: chain(v, a, 48)), v, x)
+        print(
+            f"{label:18s} 24x {t1:6.2f} ms, 48x {t2:6.2f} ms -> "
+            f"per-LN {(t2 - t1) / 24 * 1000:6.1f} us"
+        )
+
+
 if __name__ == "__main__":
     for c in sys.argv[1:] or ["rtt"]:
         globals()[f"case_{c}"]()

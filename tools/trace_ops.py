@@ -45,6 +45,13 @@ def _build(batch: int, hyp: int, views: int, vit: str):
     variables = model.init(
         jax.random.PRNGKey(0), imgs0, jnp.ones((1, 224, 224)), True
     )
+    # trace the PRODUCTION program: bench.py and serve.py both pre-cast
+    # bf16-consumed weights (utils/precast.py) — without this the trace
+    # shows per-fusion f32->bf16 weight converts that don't exist in the
+    # benched pipeline and misattributes ~10 ms/batch to convert/copy
+    from picopose_tpu.utils.precast import precast_inference_params
+
+    variables = precast_inference_params(variables)
     bank = TemplateBank(
         feats=tuple(
             jnp.asarray(rng.normal(size=(views, 16, 16, C)), jnp.bfloat16)
